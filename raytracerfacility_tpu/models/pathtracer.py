@@ -1,0 +1,412 @@
+"""Wavefront Monte-Carlo path tracer: the camera-render launch type.
+
+TPU re-architecture of the reference's recursive OptiX pipeline
+(ref ptx/CameraRendering.cu + RayFunctions.cuh): the per-ray *recursive*
+``optixTrace`` chain (closest-hit calls optixTrace for the next bounce,
+RayFunctions.cuh:136-151) becomes an *iterative* ``lax.scan`` over path
+segments carrying SoA ray state. The bottom-up energy recurrence
+
+    E_k = emission_k * albedo_k + weight_k * E_{k+1}
+    weight_k = (1 - ssFactor) * albedo_k
+               * clamp(|N.L| * roughness + (1-roughness) * f, 0, 1)
+
+(ref RayFunctions.cuh:152-171) is carried top-down as
+``radiance += throughput * emission_k * albedo_k; throughput *= weight_k``,
+which is algebraically identical, so equal-spp images converge to the
+reference's.
+
+Mode semantics preserved:
+* Scene/Skydome: BRDF continuation up to ``bounces`` accepted hits; a hit at
+  depth ``bounces + 1`` contributes emission only (ref :93-95,168-171); a
+  miss adds environment radiance (ref MissFunc :260-272).
+* SingleLightSource: ambient + one sun-cone NEE shadow ray, no continuation
+  (ref :61-92).
+* Stochastic alpha cutout (ref AnyHitFunc :5-23) runs as shade-time
+  rejection: a rejected hit re-traces the same ray with tmin just past the
+  hit, consuming an extra path segment but no bounce.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from raytracerfacility_tpu.enums import (
+    EnvironmentalLightingType,
+    MaterialType,
+    OutputType,
+)
+from raytracerfacility_tpu.ops.camera import CameraState, generate_camera_rays
+from raytracerfacility_tpu.ops.environment import (
+    EnvironmentState,
+    calculate_environmental_light,
+)
+from raytracerfacility_tpu.ops.intersect import (
+    TraceResult,
+    trace_any_bruteforce,
+    trace_closest_bruteforce,
+)
+from raytracerfacility_tpu.ops.math3d import dot
+from raytracerfacility_tpu.ops.rng import lcg_init, lcg_next
+from raytracerfacility_tpu.ops.shading import (
+    brdf_weight,
+    eval_material,
+    interpolate_hit,
+    sample_brdf,
+)
+from raytracerfacility_tpu.scene.compiled import CompiledScene
+
+_TMAX = jnp.float32(1e20)
+_BOUNCE_TMIN = jnp.float32(1e-3)
+_ALPHA_SKIP_EPS = jnp.float32(1e-4)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (compile-time) render configuration.
+
+    Mirrors ``RayProperties`` / launch statics (ref RayTracer.hpp:153-163):
+    defaults bounces=4, samples=1.
+    """
+
+    width: int = 512
+    height: int = 512
+    bounces: int = 4
+    samples: int = 1
+    lighting_type: EnvironmentalLightingType = EnvironmentalLightingType.SCENE
+    output_type: OutputType = OutputType.COLOR
+    accumulate: bool = True
+    alpha_test: bool = False
+    alpha_segments: int = 0  # extra path segments for cutout continuation
+    atmosphere_samples: int = 16
+    atmosphere_samples_light: int = 8
+    enable_btf: bool = False
+
+    @property
+    def max_segments(self) -> int:
+        if self.lighting_type == EnvironmentalLightingType.SINGLE_LIGHT_SOURCE:
+            return 1 + self.alpha_segments
+        return self.bounces + 1 + self.alpha_segments
+
+
+def trace_closest(scene: CompiledScene, origin, direction, tmin, tmax) -> TraceResult:
+    """Traversal dispatch: LBVH when built, brute-force oracle otherwise."""
+    if scene.bvh is not None:
+        from raytracerfacility_tpu.ops.traverse import trace_closest_bvh
+
+        return trace_closest_bvh(scene.bvh, scene.geometry, origin, direction, tmin, tmax)
+    g = scene.geometry
+    return trace_closest_bruteforce(g.v0, g.e1, g.e2, origin, direction, tmin, tmax)
+
+
+def trace_any(scene: CompiledScene, origin, direction, tmin, tmax) -> jax.Array:
+    if scene.bvh is not None:
+        from raytracerfacility_tpu.ops.traverse import trace_any_bvh
+
+        return trace_any_bvh(scene.bvh, scene.geometry, origin, direction, tmin, tmax)
+    g = scene.geometry
+    return trace_any_bruteforce(g.v0, g.e1, g.e2, origin, direction, tmin, tmax)
+
+
+@struct.dataclass
+class PathState:
+    """SoA carry for the segment loop (replaces PerRayData + the payload
+    pointer packing, ref RayTracerUtilities.cuh:26-52)."""
+
+    origin: jax.Array  # (R, 3)
+    direction: jax.Array  # (R, 3)
+    tmin: jax.Array  # (R,)
+    rng: jax.Array  # (R,) uint32
+    throughput: jax.Array  # (R, 3)
+    radiance: jax.Array  # (R, 3)
+    hit_count: jax.Array  # (R,) int32 accepted hits so far
+    active: jax.Array  # (R,) bool
+    first_normal: jax.Array  # (R, 3)
+    first_albedo: jax.Array  # (R, 3)
+    first_position: jax.Array  # (R, 3)
+
+
+def init_path_state(origin, direction, rng, tmin) -> PathState:
+    shape = origin.shape[:-1]
+    return PathState(
+        origin=origin,
+        direction=direction,
+        tmin=jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), shape),
+        rng=rng,
+        throughput=jnp.ones(shape + (3,), jnp.float32),
+        radiance=jnp.zeros(shape + (3,), jnp.float32),
+        hit_count=jnp.zeros(shape, jnp.int32),
+        active=jnp.ones(shape, bool),
+        first_normal=jnp.zeros(shape + (3,), jnp.float32),
+        first_albedo=jnp.zeros(shape + (3,), jnp.float32),
+        # ref CameraRendering.cu:48 sentinel for "no hit"
+        first_position=jnp.full(shape + (3,), 999999.0, jnp.float32),
+    )
+
+
+def _segment(
+    scene: CompiledScene,
+    env: EnvironmentState,
+    config: RenderConfig,
+    s: PathState,
+) -> PathState:
+    """One path segment: trace + shade + continue/terminate."""
+    res = trace_closest(scene, s.origin, s.direction, s.tmin, _TMAX)
+    where = jnp.where
+
+    # ---- miss: environment radiance (ref MissFunc, RayFunctions.cuh:260-272)
+    env_light = calculate_environmental_light(
+        s.origin,
+        s.direction,
+        env,
+        config.lighting_type,
+        config.atmosphere_samples,
+        config.atmosphere_samples_light,
+    )
+    miss = s.active & ~res.hit
+    radiance = where(miss[..., None], s.radiance + s.throughput * env_light, s.radiance)
+    # primary-miss albedo AOV (ref MissFunc writes m_albedo; never overwritten
+    # when there was no first hit)
+    primary_miss = miss & (s.hit_count == 0)
+    first_albedo = where(primary_miss[..., None], env_light, s.first_albedo)
+
+    # ---- hit: interpolate + evaluate material
+    hit_mask = s.active & res.hit
+    hit = interpolate_hit(scene, res.prim, res.u, res.v, s.direction)
+    surf = eval_material(scene, hit)
+
+    # ---- stochastic alpha cutout (ref AnyHitFunc, RayFunctions.cuh:5-23):
+    # only MaterialType::Default is tested.
+    rng = s.rng
+    if config.alpha_test:
+        rng_a, u_alpha = lcg_next(rng)
+        testable = hit_mask & (surf.material_type == MaterialType.DEFAULT)
+        rng = where(testable, rng_a, rng)
+        rejected = testable & (surf.alpha <= u_alpha)
+    else:
+        rejected = jnp.zeros_like(hit_mask)
+    accepted = hit_mask & ~rejected
+
+    new_hit_count = where(accepted, s.hit_count + 1, s.hit_count)
+
+    # ---- first-hit AOVs (ref RayFunctions.cuh:163-167, written when
+    # hitCount == 1; shading normal after normal mapping, ref :46)
+    first = accepted & (s.hit_count == 0)
+    fm = first[..., None]
+    first_normal = where(fm, surf.shading_normal, s.first_normal)
+    first_albedo = where(fm, surf.albedo, first_albedo)
+    first_position = where(fm, hit.position, s.first_position)
+
+    # ---- emission (ref RayFunctions.cuh:168-171)
+    radiance = where(
+        accepted[..., None],
+        radiance + s.throughput * surf.emission[..., None] * surf.albedo,
+        radiance,
+    )
+
+    sls = config.lighting_type == EnvironmentalLightingType.SINGLE_LIGHT_SOURCE
+    if sls:
+        # ---- ambient + sun-cone NEE, no continuation (ref :61-92)
+        from raytracerfacility_tpu.ops.math3d import sample_hemisphere
+
+        rng_s, sun_dir = sample_hemisphere(
+            rng, jnp.broadcast_to(env.sun_direction, s.direction.shape),
+            1.0 - env.light_size,
+        )
+        rng = where(accepted, rng_s, rng)
+        ambient = env.color * env.ambient_light_intensity * surf.albedo
+        radiance = where(
+            accepted[..., None], radiance + s.throughput * ambient, radiance
+        )
+        ndotl = dot(surf.shading_normal, sun_dir, keepdims=False)
+        do_nee = accepted & (ndotl > 0.0)
+        occluded = trace_any(scene, hit.position, sun_dir, _BOUNCE_TMIN, _TMAX)
+        sun_radiance = calculate_environmental_light(
+            hit.position, sun_dir, env, config.lighting_type
+        )
+        contrib = s.throughput * sun_radiance * ndotl[..., None] * surf.albedo
+        radiance = where(
+            (do_nee & ~occluded)[..., None], radiance + contrib, radiance
+        )
+        # SingleLightSource paths terminate at the first accepted hit
+        cont = jnp.zeros_like(accepted)
+        new_origin = s.origin
+        new_direction = s.direction
+        new_throughput = s.throughput
+        new_tmin = s.tmin
+    else:
+        # ---- BRDF continuation (ref :134-161); a hit past the bounce budget
+        # keeps only its emission (ref :93-95 guard)
+        cont = accepted & (new_hit_count <= config.bounces)
+        rng_b, new_dir = sample_brdf(
+            rng, s.direction, surf.shading_normal, surf.metallic
+        )
+        rng = where(cont, rng_b, rng)
+        weight = brdf_weight(
+            surf.shading_normal, new_dir, surf.roughness, surf.metallic
+        )
+        seg_throughput = (
+            (1.0 - surf.subsurface_factor[..., None])
+            * surf.albedo
+            * weight[..., None]
+        )
+        new_throughput = where(
+            cont[..., None], s.throughput * seg_throughput, s.throughput
+        )
+        new_origin = where(cont[..., None], hit.position, s.origin)
+        new_direction = where(cont[..., None], new_dir, s.direction)
+        new_tmin = where(cont, _BOUNCE_TMIN, s.tmin)
+
+    # ---- alpha-rejected lanes continue the same ray past the hit;
+    # missed / cut-off / SLS-shaded lanes terminate
+    new_tmin = where(rejected, res.t + _ALPHA_SKIP_EPS, new_tmin)
+    active = s.active & (rejected | cont)
+
+    return PathState(
+        origin=new_origin,
+        direction=new_direction,
+        tmin=new_tmin,
+        rng=rng,
+        throughput=new_throughput,
+        radiance=radiance,
+        hit_count=new_hit_count,
+        active=active,
+        first_normal=first_normal,
+        first_albedo=first_albedo,
+        first_position=first_position,
+    )
+
+
+def trace_radiance(
+    scene: CompiledScene,
+    env: EnvironmentState,
+    config: RenderConfig,
+    origin: jax.Array,
+    direction: jax.Array,
+    rng: jax.Array,
+    tmin,
+) -> PathState:
+    """Run the full segment loop for a ray pool; returns the final state
+    (radiance = path energy, first_* = AOVs)."""
+    state = init_path_state(origin, direction, rng, tmin)
+
+    def body(state: PathState, _):
+        return _segment(scene, env, config, state), None
+
+    state, _ = jax.lax.scan(body, state, None, length=config.max_segments)
+    return state
+
+
+# --------------------------------------------------------------------------
+# Camera rendering (the __raygen__CR equivalent)
+# --------------------------------------------------------------------------
+
+
+@struct.dataclass
+class FrameBuffers:
+    """Progressive frame state (ref CameraProperties frame buffers,
+    RayTracer.hpp:30-70)."""
+
+    color: jax.Array  # (H, W, 4) gamma-encoded
+    normal: jax.Array  # (H, W, 4)
+    albedo: jax.Array  # (H, W, 4)
+    frame_id: jax.Array  # () int32 — frames accumulated so far
+
+
+def init_frame(width: int, height: int) -> FrameBuffers:
+    return FrameBuffers(
+        color=jnp.zeros((height, width, 4), jnp.float32),
+        normal=jnp.zeros((height, width, 4), jnp.float32),
+        albedo=jnp.zeros((height, width, 4), jnp.float32),
+        frame_id=jnp.int32(0),
+    )
+
+
+def render_frame(
+    scene: CompiledScene,
+    camera: CameraState,
+    env: EnvironmentState,
+    config: RenderConfig,
+    frame: FrameBuffers,
+) -> FrameBuffers:
+    """One progressive frame (the ``__raygen__CR`` + accumulation logic,
+    ref ptx/CameraRendering.cu:32-147).
+
+    Per-pixel RNG is seeded with (pixel index, frame id) exactly like the
+    reference (ref :42-44); the spp loop is sequential per pixel with a
+    continuous RNG stream, matching the reference's sample loop.
+    """
+    height, width = config.height, config.width
+    iy, ix = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32),
+        jnp.arange(width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    pixel_index = (ix + width * iy).astype(jnp.uint32)
+    rng = lcg_init(pixel_index, jnp.broadcast_to(
+        frame.frame_id.astype(jnp.uint32), pixel_index.shape))
+
+    def sample_body(carry, _):
+        rng, acc_color, acc_normal, acc_albedo, acc_position = carry
+        rng, origin, direction = generate_camera_rays(
+            camera, rng, ix, iy, width, height
+        )
+        path = trace_radiance(
+            scene, env, config, origin, direction, rng, jnp.float32(0.0)
+        )
+        inv_n = 1.0 / config.samples
+        return (
+            path.rng,
+            acc_color + path.radiance * inv_n,
+            acc_normal + path.first_normal * inv_n,
+            acc_albedo + path.first_albedo * inv_n,
+            acc_position + path.first_position * inv_n,
+        ), None
+
+    zeros = jnp.zeros((height, width, 3), jnp.float32)
+    (rng, pixel_color, pixel_normal, pixel_albedo, pixel_position), _ = jax.lax.scan(
+        sample_body, (rng, zeros, zeros, zeros, zeros), None, length=config.samples
+    )
+
+    # ---- progressive accumulation (ref CameraRendering.cu:113-134).
+    # Reproduced exactly, including the reference's weighting quirk: history
+    # is weighted by frame_id even though it holds frame_id - 1 samples.
+    fid = frame.frame_id.astype(jnp.float32)
+    if config.accumulate:
+        prev = jnp.power(jnp.maximum(frame.color[..., :3], 0.0), camera.gamma)
+        accumulated = (pixel_color + fid * prev) / (fid + 1.0)
+        pixel_color = jnp.where(fid > 1.0, accumulated, pixel_color)
+
+    gamma_corrected = jnp.power(
+        jnp.maximum(pixel_color, 0.0), 1.0 / camera.gamma
+    )
+    color = jnp.concatenate(
+        [gamma_corrected, jnp.ones((height, width, 1), jnp.float32)], axis=-1
+    )
+    normal = jnp.concatenate(
+        [pixel_normal, jnp.ones((height, width, 1), jnp.float32)], axis=-1
+    )
+    if config.output_type == OutputType.DEPTH:
+        # ref CameraRendering.cu:135-140: albedo buffer repurposed for depth
+        distance = jnp.linalg.norm(
+            pixel_position - camera.position, axis=-1, keepdims=True
+        )
+        depth = jnp.clip(distance / camera.max_distance, 0.0, 1.0)
+        albedo_rgb = jnp.broadcast_to(depth, (height, width, 3))
+    else:
+        albedo_rgb = pixel_albedo
+    albedo = jnp.concatenate(
+        [albedo_rgb, jnp.ones((height, width, 1), jnp.float32)], axis=-1
+    )
+    return FrameBuffers(
+        color=color,
+        normal=normal,
+        albedo=albedo,
+        frame_id=frame.frame_id + 1,
+    )
+
+
+render_frame_jit = jax.jit(render_frame, static_argnames=("config",))

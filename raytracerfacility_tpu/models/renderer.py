@@ -1,0 +1,187 @@
+"""Host orchestration: progressive camera rendering with change detection.
+
+Mirrors ``RayTracer::RenderToCamera`` (ref RayTracer.cu:244-603) and the
+``RayTracerCamera`` component (ref RayTracerCamera.cpp): structural diffing
+of camera / environment / ray properties resets the accumulation frame id
+(ref RayTracer.cu:253-269, ``EnvironmentProperties::Changed``
+RayTracer.hpp:128-148), then one jitted frame step runs on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from raytracerfacility_tpu.enums import EnvironmentalLightingType, OutputType
+from raytracerfacility_tpu.models.pathtracer import (
+    FrameBuffers,
+    RenderConfig,
+    init_frame,
+    render_frame_jit,
+)
+from raytracerfacility_tpu.ops.camera import CameraProperties
+from raytracerfacility_tpu.ops.environment import AtmosphereState, EnvironmentState
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class EnvironmentProperties:
+    """Host-side environment config with ``Changed()``-style diffing
+    (ref RayTracer.hpp:103-148)."""
+
+    lighting_type: EnvironmentalLightingType = EnvironmentalLightingType.SCENE
+    skylight_intensity: float = 1.0
+    ambient_light_intensity: float = 0.1
+    light_size: float = 0.0
+    gamma: float = 1.0
+    sun_direction: tuple = (0.0, 1.0, 0.0)
+    color: tuple = (1.0, 1.0, 1.0)
+    cubemap: np.ndarray | None = None  # (6, H, W, >=3)
+    earth_radius: float = 6360.0
+    atmosphere_radius: float = 6420.0
+    hr: float = 7994.0
+    hm: float = 1200.0
+    g: float = 0.76
+    num_samples: int = 16
+    num_samples_light: int = 8
+
+    def changed(self, other: "EnvironmentProperties") -> bool:
+        a = dataclasses.asdict(self)
+        b = dataclasses.asdict(other)
+        ca, cb = a.pop("cubemap"), b.pop("cubemap")
+        if (ca is None) != (cb is None):
+            return True
+        if ca is not None and not np.array_equal(ca, cb):
+            return True
+        return a != b
+
+    def state(self) -> EnvironmentState:
+        cubemap = None
+        if self.cubemap is not None:
+            cm = np.asarray(self.cubemap, np.float32)
+            if cm.shape[-1] == 3:
+                cm = np.concatenate(
+                    [cm, np.ones(cm.shape[:-1] + (1,), np.float32)], axis=-1
+                )
+            cubemap = jnp.asarray(cm)
+        return EnvironmentState(
+            skylight_intensity=jnp.float32(self.skylight_intensity),
+            ambient_light_intensity=jnp.float32(self.ambient_light_intensity),
+            light_size=jnp.float32(self.light_size),
+            gamma=jnp.float32(self.gamma),
+            sun_direction=jnp.asarray(self.sun_direction, jnp.float32),
+            color=jnp.asarray(self.color, jnp.float32),
+            cubemap=cubemap,
+            atmosphere=AtmosphereState(
+                earth_radius=jnp.float32(self.earth_radius),
+                atmosphere_radius=jnp.float32(self.atmosphere_radius),
+                hr=jnp.float32(self.hr),
+                hm=jnp.float32(self.hm),
+                g=jnp.float32(self.g),
+            ),
+        )
+
+
+@dataclasses.dataclass
+class RayProperties:
+    """Ref RayTracer.hpp:153-163."""
+
+    bounces: int = 4
+    samples: int = 1
+
+
+class RayTracerCamera:
+    """Progressive offscreen camera bound to a scene store.
+
+    Usage::
+
+        cam = RayTracerCamera(scene)
+        cam.camera.resize((512, 512))
+        cam.camera.look_at_target((0, 1, 3), (0, 1, 0))
+        image = cam.render(env, RayProperties())  # (H, W, 4) numpy
+    """
+
+    def __init__(self, scene, camera: CameraProperties | None = None) -> None:
+        self.scene = scene
+        self.camera = camera or CameraProperties()
+        self.output_type = OutputType.COLOR
+        self._frame: FrameBuffers | None = None
+        self._last_env: EnvironmentProperties | None = None
+        self._last_ray: RayProperties | None = None
+        self._scene_epoch = -1
+
+    def _status_changed(self, env: EnvironmentProperties, ray: RayProperties) -> bool:
+        changed = self.camera.modified
+        self.camera.modified = False
+        if self._last_env is None or self._last_env.changed(env):
+            changed = True
+        if self._last_ray != ray:
+            changed = True
+        self._last_env = dataclasses.replace(env)
+        self._last_ray = dataclasses.replace(ray)
+        return changed
+
+    def render(
+        self,
+        env: EnvironmentProperties,
+        ray: RayProperties | None = None,
+        build_bvh: bool | None = None,
+    ) -> np.ndarray:
+        """Render one progressive frame; returns the gamma-encoded color
+        image as numpy (H, W, 4). Call repeatedly to accumulate."""
+        ray = ray or RayProperties()
+        scene_dirty = self.scene.dirty
+        kwargs = {} if build_bvh is None else {"build_bvh": build_bvh}
+        compiled = self.scene.build(**kwargs)
+        width, height = self.camera.size
+
+        status_changed = self._status_changed(env, ray) or scene_dirty
+        if (
+            self._frame is None
+            or not self.camera.accumulate
+            or status_changed
+        ):
+            # accumulation reset (ref RayTracer.cu:266-269)
+            self._frame = init_frame(width, height)
+
+        config = RenderConfig(
+            width=width,
+            height=height,
+            bounces=ray.bounces,
+            samples=ray.samples,
+            lighting_type=env.lighting_type,
+            output_type=self.output_type,
+            accumulate=self.camera.accumulate,
+            alpha_test=self._needs_alpha_test(),
+            alpha_segments=2 if self._needs_alpha_test() else 0,
+            atmosphere_samples=env.num_samples,
+            atmosphere_samples_light=env.num_samples_light,
+        )
+        self._frame = render_frame_jit(
+            compiled, self.camera.state(), env.state(), config, self._frame
+        )
+        return np.asarray(self._frame.color)
+
+    def _needs_alpha_test(self) -> bool:
+        """Static decision: only pay for cutout segments when some material
+        can actually be transparent."""
+        for mat in self.scene.materials.values():
+            if mat.albedo_texture is not None:
+                return True
+            if mat.properties.transmission > 0.0:
+                return True
+        return False
+
+    @property
+    def frame(self) -> FrameBuffers | None:
+        return self._frame
+
+    def buffers(self) -> dict[str, np.ndarray]:
+        assert self._frame is not None, "render() first"
+        return {
+            "color": np.asarray(self._frame.color),
+            "normal": np.asarray(self._frame.normal),
+            "albedo": np.asarray(self._frame.albedo),
+            "frame_id": int(self._frame.frame_id),
+        }

@@ -1,0 +1,399 @@
+"""Scene bake: store -> CompiledScene device buffers.
+
+This is the TPU analog of the reference's GAS/IAS/SBT build chain
+(ref RayTracer.cu:1251-1715 BuildGAS/BuildIAS, :1835-2055 BuildSBT):
+
+* vertex-prep CUDA kernels -> batched matmul bakes:
+  - plain meshes: instance transform applied to positions (w=1) and
+    normals/tangents (w=0, plain matrix like the reference,
+    RayDataDefinations.hpp:375)
+  - skinned meshes: 8-bone LBS (ref CopySkinnedVerticesKernel,
+    RayTracer.cu:1194-1249)
+  - instanced meshes: per-instance matrix bake + per-instance color
+    override (ref CopyVerticesInstancedKernel, RayTracer.cu:1148-1175)
+  - strands: tube tessellation (OptiX builtin curve IS has no TPU
+    equivalent; analytic intersection is a later milestone —
+    SURVEY.md section 7.3 item 4)
+* SBT records -> flat material table + per-triangle instance slots.
+
+Triangle count is padded to a multiple (degenerate, never-hit triangles) so
+small scene edits reuse the jit cache instead of recompiling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytracerfacility_tpu.enums import MaterialType, RendererType
+from raytracerfacility_tpu.scene.compiled import (
+    CompiledScene,
+    GeometryBuffers,
+    MaterialTable,
+    handle_words,
+)
+from raytracerfacility_tpu.scene.mesh import Mesh
+from raytracerfacility_tpu.ops.texture import build_texture_stack
+
+
+def _transform_points(matrix: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    return pts @ matrix[:3, :3].T + matrix[:3, 3]
+
+
+def _transform_dirs(matrix: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+    return dirs @ matrix[:3, :3].T
+
+
+def skin_vertices(
+    positions: np.ndarray,
+    normals: np.ndarray,
+    tangents: np.ndarray,
+    bone_ids: np.ndarray,
+    bone_weights: np.ndarray,
+    bone_matrices: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """8-bone linear blend skinning (ref RayTracer.cu:1194-1249).
+
+    ``bone_ids`` entries < 0 are unused slots (their weight must be 0, the
+    reference guards with id checks; we clamp and rely on zero weights).
+    """
+    ids = np.maximum(bone_ids, 0)
+    w = bone_weights[..., None, None]  # (N, 8, 1, 1)
+    mats = bone_matrices[ids]  # (N, 8, 4, 4)
+    blended = np.sum(mats * w, axis=1)  # (N, 4, 4)
+    pos = np.einsum("nij,nj->ni", blended[:, :3, :3], positions) + blended[:, :3, 3]
+    nrm = np.einsum("nij,nj->ni", blended[:, :3, :3], normals)
+    tan = np.einsum("nij,nj->ni", blended[:, :3, :3], tangents)
+    return pos.astype(np.float32), nrm.astype(np.float32), tan.astype(np.float32)
+
+
+def tessellate_strands(
+    strand_points: np.ndarray,  # (S, >=4): x, y, z, thickness[, r, g, b, a]
+    segments: np.ndarray,  # (C,) start index per curve segment
+    radial: int = 6,
+    mode: str = "linear",
+) -> Mesh:
+    """Tessellate swept-curve segments into a triangle tube.
+
+    Phase-1 stand-in for OptiX's builtin ROUND_LINEAR/QUADRATIC/CUBIC
+    intersectors (ref RayTracer.cu:1773-1787): each segment's control points
+    are evaluated to a polyline with per-point radius, then swept with a
+    ``radial``-gon. Shading normals come from the tube surface, which matches
+    the reference's offset-surface normal (CurveSplineDefinations.hpp:314-387)
+    in the linear case.
+    """
+    pts = np.asarray(strand_points, np.float32)
+    segments = np.asarray(segments, np.int32)
+    n_ctrl = {"linear": 2, "quadratic": 3, "cubic": 4}[mode]
+    n_eval = {"linear": 2, "quadratic": 4, "cubic": 6}[mode]
+
+    positions, normals, colors, tris, uvs = [], [], [], [], []
+    for seg_start in segments:
+        ctrl = pts[seg_start : seg_start + n_ctrl]
+        if ctrl.shape[0] < n_ctrl:
+            continue
+        u = np.linspace(0.0, 1.0, n_eval, dtype=np.float32)
+        if mode == "linear":
+            center = (1 - u)[:, None] * ctrl[0, :3] + u[:, None] * ctrl[1, :3]
+            radius = (1 - u) * ctrl[0, 3] + u * ctrl[1, 3]
+        elif mode == "quadratic":
+            # uniform quadratic B-spline basis
+            b = np.stack(
+                [(1 - u) ** 2 / 2, 0.5 + u * (1 - u), u**2 / 2], axis=-1
+            )
+            center = b @ ctrl[:, :3]
+            radius = b @ ctrl[:, 3]
+        else:  # cubic uniform B-spline
+            b = np.stack(
+                [
+                    (1 - u) ** 3 / 6,
+                    (3 * u**3 - 6 * u**2 + 4) / 6,
+                    (-3 * u**3 + 3 * u**2 + 3 * u + 1) / 6,
+                    u**3 / 6,
+                ],
+                axis=-1,
+            )
+            center = b @ ctrl[:, :3]
+            radius = b @ ctrl[:, 3]
+        col = ctrl[0, 4:8] if ctrl.shape[1] >= 8 else np.ones(4, np.float32)
+
+        # sweep
+        tangent = np.gradient(center, axis=0)
+        tangent /= np.maximum(np.linalg.norm(tangent, axis=-1, keepdims=True), 1e-8)
+        helper = np.where(
+            np.abs(tangent[:, 0:1]) > 0.9,
+            np.array([[0, 0, 1]], np.float32),
+            np.array([[1, 0, 0]], np.float32),
+        )
+        side = np.cross(tangent, helper)
+        side /= np.maximum(np.linalg.norm(side, axis=-1, keepdims=True), 1e-8)
+        up = np.cross(tangent, side)
+        base = len(positions)
+        ring_angles = np.linspace(0, 2 * np.pi, radial, endpoint=False)
+        for i in range(n_eval):
+            for a in ring_angles:
+                offset = side[i] * np.cos(a) + up[i] * np.sin(a)
+                positions.append(center[i] + offset * radius[i])
+                normals.append(offset)
+                colors.append(col)
+                uvs.append([u[i], a / (2 * np.pi)])
+        for i in range(n_eval - 1):
+            for k in range(radial):
+                k2 = (k + 1) % radial
+                a = base + i * radial + k
+                b_ = base + i * radial + k2
+                c = base + (i + 1) * radial + k
+                d = base + (i + 1) * radial + k2
+                tris.append([a, c, b_])
+                tris.append([b_, c, d])
+    if not positions:
+        return Mesh(np.zeros((3, 3), np.float32), np.array([[0, 1, 2]], np.int32))
+    return Mesh(
+        np.array(positions, np.float32),
+        np.array(tris, np.int32),
+        normals=np.array(normals, np.float32),
+        colors=np.array(colors, np.float32),
+        tex_coords=np.array(uvs, np.float32),
+    )
+
+
+def _geometry_world_mesh(geom, transform: np.ndarray):
+    """Bake one geometry under one instance transform into world-space
+    per-corner triangle arrays. Returns dict of numpy arrays."""
+    if geom.renderer_type == RendererType.CURVE:
+        from raytracerfacility_tpu.enums import GeometryType
+
+        mode = {
+            GeometryType.LINEAR: "linear",
+            GeometryType.QUADRATIC_BSPLINE: "quadratic",
+            GeometryType.CUBIC_BSPLINE: "cubic",
+        }.get(geom.geometry_type, "linear")
+        mesh = tessellate_strands(geom.strand_points, geom.curve_segments, mode=mode)
+    else:
+        mesh = geom.mesh
+    if mesh is None or mesh.num_triangles == 0:
+        return None
+
+    positions, normals_v, tangents_v = mesh.positions, mesh.normals, mesh.tangents
+    colors_v, uvs_v, data_v = mesh.colors, mesh.tex_coords, mesh.data
+
+    if geom.renderer_type == RendererType.SKINNED:
+        positions, normals_v, tangents_v = skin_vertices(
+            positions, normals_v, tangents_v,
+            geom.bone_ids, geom.bone_weights, geom.bone_matrices,
+        )
+
+    if geom.renderer_type == RendererType.INSTANCED:
+        mats = np.asarray(geom.instance_matrices, np.float32)
+        all_pos, all_nrm, all_tan, all_col = [], [], [], []
+        for p_idx in range(mats.shape[0]):
+            m = transform @ mats[p_idx]
+            all_pos.append(_transform_points(m, positions))
+            all_nrm.append(_transform_dirs(m, normals_v))
+            all_tan.append(_transform_dirs(m, tangents_v))
+            if geom.instance_colors is not None and len(geom.instance_colors):
+                # per-instance color override (ref RayTracer.cu:1169-1173)
+                col = np.tile(
+                    np.asarray(geom.instance_colors, np.float32)[p_idx],
+                    (positions.shape[0], 1),
+                )
+            else:
+                col = colors_v
+            all_col.append(col)
+        n_per = positions.shape[0]
+        tris = np.concatenate(
+            [mesh.triangles + i * n_per for i in range(mats.shape[0])], axis=0
+        )
+        positions = np.concatenate(all_pos, axis=0)
+        normals_v = np.concatenate(all_nrm, axis=0)
+        tangents_v = np.concatenate(all_tan, axis=0)
+        colors_v = np.concatenate(all_col, axis=0)
+        uvs_v = np.tile(uvs_v, (mats.shape[0], 1))
+        data_v = np.tile(data_v, (mats.shape[0], 1))
+    else:
+        tris = mesh.triangles
+        positions = _transform_points(transform, positions)
+        normals_v = _transform_dirs(transform, normals_v)
+        tangents_v = _transform_dirs(transform, tangents_v)
+
+    c0, c1, c2 = tris[:, 0], tris[:, 1], tris[:, 2]
+    v0 = positions[c0]
+    return {
+        "v0": v0,
+        "e1": positions[c1] - v0,
+        "e2": positions[c2] - v0,
+        "normal": np.stack([normals_v[c0], normals_v[c1], normals_v[c2]], axis=1),
+        "tangent": np.stack([tangents_v[c0], tangents_v[c1], tangents_v[c2]], axis=1),
+        "tex_coord": np.stack([uvs_v[c0], uvs_v[c1], uvs_v[c2]], axis=1),
+        "color": np.stack([colors_v[c0], colors_v[c1], colors_v[c2]], axis=1),
+        "data": np.stack([data_v[c0], data_v[c1], data_v[c2]], axis=1),
+    }
+
+
+def build_compiled_scene(
+    scene,
+    pad_to_multiple: int = 256,
+    build_bvh: bool = False,
+    leaf_size: int = 4,
+) -> CompiledScene:
+    parts = []
+    inst_material: list[int] = []
+    inst_handles: list[tuple[int, int]] = []
+    material_slot: dict[int, int] = {}
+
+    # material table (order of first use, like SBT record order)
+    mat_list = []
+    textures = []
+
+    def tex_index(img) -> int:
+        if img is None:
+            return -1
+        textures.append(np.asarray(img, np.float32))
+        return len(textures) - 1
+
+    def material_index(key: int) -> int:
+        if key in material_slot:
+            return material_slot[key]
+        mat = scene.materials[key]
+        slot = len(mat_list)
+        material_slot[key] = slot
+        p = mat.properties
+        mat_list.append(
+            dict(
+                material_type=int(mat.material_type),
+                albedo=np.asarray(p.albedo_color, np.float32),
+                transmission=p.transmission,
+                roughness=p.roughness,
+                metallic=p.metallic,
+                emission=p.emission,
+                subsurface_factor=p.subsurface_factor,
+                subsurface_color=np.asarray(p.subsurface_color, np.float32),
+                subsurface_radius=np.asarray(p.subsurface_radius, np.float32),
+                albedo_tex=tex_index(mat.albedo_texture),
+                normal_tex=tex_index(mat.normal_texture),
+                metallic_tex=tex_index(mat.metallic_texture),
+                roughness_tex=tex_index(mat.roughness_texture),
+                btf=mat.btf,
+            )
+        )
+        return slot
+
+    for inst in scene.instances.values():
+        geom = scene.geometries.get(inst.geometry_key)
+        if geom is None or inst.material_key not in scene.materials:
+            continue
+        baked = _geometry_world_mesh(geom, inst.global_transform)
+        if baked is None:
+            continue
+        slot = len(inst_material)
+        baked["instance"] = np.full(baked["v0"].shape[0], slot, np.int32)
+        parts.append(baked)
+        inst_material.append(material_index(inst.material_key))
+        inst_handles.append(handle_words(inst.entity_handle))
+
+    if not parts:  # empty scene: single degenerate triangle
+        parts.append(
+            {
+                "v0": np.zeros((1, 3), np.float32),
+                "e1": np.zeros((1, 3), np.float32),
+                "e2": np.zeros((1, 3), np.float32),
+                "normal": np.zeros((1, 3, 3), np.float32),
+                "tangent": np.zeros((1, 3, 3), np.float32),
+                "tex_coord": np.zeros((1, 3, 2), np.float32),
+                "color": np.ones((1, 3, 4), np.float32),
+                "data": np.zeros((1, 3, 4), np.float32),
+                "instance": np.zeros(1, np.int32),
+            }
+        )
+        inst_material.append(0)
+        inst_handles.append((0, 0))
+        mat_list.append(
+            dict(
+                material_type=0,
+                albedo=np.ones(3, np.float32),
+                transmission=0.0,
+                roughness=1.0,
+                metallic=0.3,
+                emission=0.0,
+                subsurface_factor=0.0,
+                subsurface_color=np.ones(3, np.float32),
+                subsurface_radius=np.zeros(3, np.float32),
+                albedo_tex=-1,
+                normal_tex=-1,
+                metallic_tex=-1,
+                roughness_tex=-1,
+                btf=None,
+            )
+        )
+
+    merged = {
+        k: np.concatenate([p[k] for p in parts], axis=0)
+        for k in parts[0]
+    }
+    num_tris = merged["v0"].shape[0]
+    pad = (-num_tris) % pad_to_multiple
+    if pad:
+        for k, arr in merged.items():
+            fill = np.zeros((pad,) + arr.shape[1:], arr.dtype)
+            merged[k] = np.concatenate([arr, fill], axis=0)
+
+    geometry = GeometryBuffers(**{k: jnp.asarray(v) for k, v in merged.items()})
+
+    texels, tex_sizes = build_texture_stack(textures)
+
+    # MLVQ table: pack all BTF materials present in the scene
+    btf_objects = [m.pop("btf") for m in mat_list]
+    btf_slots = []
+    btf_table = None
+    present = [b for b in btf_objects if b is not None]
+    if present:
+        from raytracerfacility_tpu.mlvq.btf import pack_btf_table
+
+        btf_table = pack_btf_table(present)
+    counter = 0
+    for b in btf_objects:
+        if b is None:
+            btf_slots.append(-1)
+        else:
+            btf_slots.append(counter)
+            counter += 1
+
+    materials = MaterialTable(
+        material_type=jnp.asarray([m["material_type"] for m in mat_list], jnp.int32),
+        albedo=jnp.asarray(np.stack([m["albedo"] for m in mat_list])),
+        transmission=jnp.asarray([m["transmission"] for m in mat_list], jnp.float32),
+        roughness=jnp.asarray([m["roughness"] for m in mat_list], jnp.float32),
+        metallic=jnp.asarray([m["metallic"] for m in mat_list], jnp.float32),
+        emission=jnp.asarray([m["emission"] for m in mat_list], jnp.float32),
+        subsurface_factor=jnp.asarray(
+            [m["subsurface_factor"] for m in mat_list], jnp.float32
+        ),
+        subsurface_color=jnp.asarray(
+            np.stack([m["subsurface_color"] for m in mat_list])
+        ),
+        subsurface_radius=jnp.asarray(
+            np.stack([m["subsurface_radius"] for m in mat_list])
+        ),
+        albedo_tex=jnp.asarray([m["albedo_tex"] for m in mat_list], jnp.int32),
+        normal_tex=jnp.asarray([m["normal_tex"] for m in mat_list], jnp.int32),
+        metallic_tex=jnp.asarray([m["metallic_tex"] for m in mat_list], jnp.int32),
+        roughness_tex=jnp.asarray([m["roughness_tex"] for m in mat_list], jnp.int32),
+        btf_index=jnp.asarray(btf_slots, jnp.int32),
+        texels=texels,
+        tex_sizes=tex_sizes,
+    )
+
+    bvh = None
+    if build_bvh:
+        from raytracerfacility_tpu.ops.bvh import build_bvh as _build
+
+        bvh = _build(geometry.v0, geometry.e1, geometry.e2, leaf_size=leaf_size)
+
+    return CompiledScene(
+        geometry=geometry,
+        materials=materials,
+        instance_material=jnp.asarray(inst_material, jnp.int32),
+        instance_handle=jnp.asarray(np.array(inst_handles, np.uint32)),
+        btf=btf_table,
+        bvh=bvh,
+    )

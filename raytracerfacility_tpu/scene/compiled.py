@@ -1,0 +1,84 @@
+"""Device-side compiled scene: flattened SoA buffers (a pytree).
+
+This is the TPU replacement for the reference's two-level OptiX structure
+(per-geometry GAS + instance IAS + per-instance SBT records,
+ref RayTracer.cu:1251-1715, 1835-2055): all instances are baked to a single
+world-space triangle soup with per-triangle corner attributes, and material /
+instance dispatch becomes integer gathers into flat tables. Rationale: TPU
+has no hardware traversal or function-pointer dispatch; one flat soup makes
+traversal a dense data-parallel kernel and shading a single vectorized pass.
+
+Per-triangle corner attributes (instead of vertex pool + index indirection)
+cost ~3x vertex memory but turn shading's attribute fetch into one gather by
+primitive id — the right trade on HBM-bandwidth-bound hardware.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class GeometryBuffers:
+    """World-space triangle soup. T = padded triangle count."""
+
+    v0: jax.Array  # (T, 3) first vertex
+    e1: jax.Array  # (T, 3) v1 - v0
+    e2: jax.Array  # (T, 3) v2 - v0
+    normal: jax.Array  # (T, 3, 3) per-corner world normals (unnormalized)
+    tangent: jax.Array  # (T, 3, 3)
+    tex_coord: jax.Array  # (T, 3, 2)
+    color: jax.Array  # (T, 3, 4) per-corner vertex colors
+    data: jax.Array  # (T, 3, 4) aux channel (ref vertex padding fields)
+    instance: jax.Array  # (T,) int32 instance slot
+
+    @property
+    def num_triangles(self) -> int:
+        return self.v0.shape[0]
+
+
+@struct.dataclass
+class MaterialTable:
+    """Flat material table + texture stack (replaces SBT material records +
+    cudaTextureObjects, ref RayTracer.cu:2058-2256)."""
+
+    material_type: jax.Array  # (M,) int32 (enums.MaterialType)
+    albedo: jax.Array  # (M, 3)
+    transmission: jax.Array  # (M,)
+    roughness: jax.Array  # (M,)
+    metallic: jax.Array  # (M,)
+    emission: jax.Array  # (M,)
+    subsurface_factor: jax.Array  # (M,)
+    subsurface_color: jax.Array  # (M, 3)
+    subsurface_radius: jax.Array  # (M, 3)
+    albedo_tex: jax.Array  # (M,) int32, -1 = none
+    normal_tex: jax.Array  # (M,)
+    metallic_tex: jax.Array  # (M,)
+    roughness_tex: jax.Array  # (M,)
+    btf_index: jax.Array  # (M,) int32, -1 = none (MLVQ table slot)
+    texels: jax.Array  # (K, H, W, 4)
+    tex_sizes: jax.Array  # (K, 2)
+
+
+@struct.dataclass
+class CompiledScene:
+    geometry: GeometryBuffers
+    materials: MaterialTable
+    instance_material: jax.Array  # (I,) int32 material slot per instance
+    instance_handle: jax.Array  # (I, 2) uint32 (lo, hi) of the 64-bit handle
+    btf: object | None = None  # mlvq.BTFTable when the scene has BTF materials
+    bvh: object | None = None  # ops.bvh.BVH when built
+
+    @property
+    def num_instances(self) -> int:
+        return self.instance_material.shape[0]
+
+
+def handle_words(handle: int) -> tuple[int, int]:
+    return handle & 0xFFFFFFFF, (handle >> 32) & 0xFFFFFFFF
+
+
+def combine_handle_words(lo, hi) -> int:
+    return int(lo) | (int(hi) << 32)

@@ -1,0 +1,79 @@
+"""End-to-end smoke: a Cornell-style scene renders without NaNs."""
+
+import numpy as np
+
+from raytracerfacility_tpu.models.renderer import (
+    EnvironmentProperties,
+    RayProperties,
+    RayTracerCamera,
+)
+from raytracerfacility_tpu.scene import (
+    MaterialProperties,
+    RayTracerScene,
+    make_cornell_box,
+    make_cube,
+)
+
+
+def build_test_scene() -> RayTracerScene:
+    scene = RayTracerScene()
+    handle = 1
+    for mesh, transform, color in make_cornell_box(2.0):
+        scene.upsert_geometry(handle, version=0, mesh=mesh)
+        scene.upsert_material(
+            handle + 100,
+            version=0,
+            properties=MaterialProperties(albedo_color=color, roughness=1.0,
+                                          metallic=0.0),
+        )
+        scene.upsert_instance(
+            handle + 200, version=0, geometry=handle, material=handle + 100,
+            transform=transform,
+        )
+        handle += 1
+    cube = make_cube(0.6)
+    t = np.eye(4, dtype=np.float32)
+    t[:3, 3] = (0.0, 0.3, 0.0)
+    scene.upsert_geometry(50, version=0, mesh=cube)
+    scene.upsert_material(
+        51, version=0,
+        properties=MaterialProperties(albedo_color=(0.8, 0.7, 0.2),
+                                      roughness=0.4, metallic=0.6),
+    )
+    scene.upsert_instance(52, version=0, geometry=50, material=51, transform=t)
+    return scene
+
+
+def test_render_smoke():
+    scene = build_test_scene()
+    cam = RayTracerCamera(scene)
+    cam.camera.resize((64, 64))
+    cam.camera.fov = 60.0
+    cam.camera.look_at_target((0.0, 1.0, 2.6), (0.0, 0.8, 0.0))
+    env = EnvironmentProperties(skylight_intensity=1.0)
+    img = cam.render(env, RayProperties(bounces=2, samples=1), build_bvh=False)
+    assert img.shape == (64, 64, 4)
+    assert np.all(np.isfinite(img))
+    assert img[..., :3].max() > 0.05  # something lit
+    assert img[..., 3].min() == 1.0
+
+    # progressive accumulation advances the frame id and keeps values finite
+    img2 = cam.render(env, RayProperties(bounces=2, samples=1), build_bvh=False)
+    assert int(cam.frame.frame_id) == 2
+    assert np.all(np.isfinite(img2))
+
+
+def test_aov_buffers():
+    scene = build_test_scene()
+    cam = RayTracerCamera(scene)
+    cam.camera.resize((32, 32))
+    cam.camera.fov = 60.0
+    cam.camera.look_at_target((0.0, 1.0, 2.6), (0.0, 0.8, 0.0))
+    env = EnvironmentProperties()
+    cam.render(env, RayProperties(bounces=1, samples=1), build_bvh=False)
+    bufs = cam.buffers()
+    # normals are unit-ish where geometry was hit
+    lengths = np.linalg.norm(bufs["normal"][..., :3], axis=-1)
+    hit = lengths > 0.5
+    assert hit.any()
+    np.testing.assert_allclose(lengths[hit], 1.0, atol=1e-3)
