@@ -1,0 +1,248 @@
+"""LBVH build in pure XLA: Morton sort + Karras radix tree + skip links.
+
+TPU replacement for OptiX acceleration-structure builds
+(ref RayTracer.cu:1251-1598 BuildGAS / :1618-1715 BuildIAS). The reference
+leans on driver-side BVH construction and RT-core traversal; here the whole
+build is jit-compiled array code:
+
+1. triangle centroids -> 30-bit Morton codes over the scene AABB
+2. stable sort (ties broken by primitive index, so duplicate codes --
+   e.g. heavily-instanced canopies -- still give a ~log-depth tree)
+3. Karras 2012 binary radix tree: every internal node's (range, split) is
+   computed independently with vectorized binary searches -- no sequential
+   build loop
+4. bottom-up AABB fit by fixed-point iteration (tree depth is bounded by
+   the 62-bit key length, so 64 passes converge)
+5. **threaded (stackless) layout**: nodes are emitted in DFS preorder with
+   a precomputed skip link. Preorder for a radix tree over sorted leaves is
+   simply the lexicographic order by (range start asc, range size desc),
+   and skip(n) = pos(n) + 2*size(n) - 1 -- both O(1) per node. Traversal
+   then needs no per-ray stack: hit -> node+1, miss/leaf -> skip[node].
+   That is the property that makes traversal a dense, divergence-tolerant
+   while-loop on the VPU (ops/traverse.py).
+
+Leaves are collapsed to ``leaf_size`` triangles by cutting the tree at the
+highest node covering <= leaf_size sorted primitives; the cut node's skip
+link jumps over its (never-visited) descendants.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+MAX_DEPTH_PASSES = 64  # >= max radix-tree depth with 62-bit tie-broken keys
+
+
+@struct.dataclass
+class BVH:
+    """Threaded BVH in DFS preorder (M = 2N-1 nodes)."""
+
+    aabb_min: jax.Array  # (M, 3)
+    aabb_max: jax.Array  # (M, 3)
+    skip: jax.Array  # (M,) int32 preorder skip link
+    is_leaf: jax.Array  # (M,) bool (cut leaves)
+    leaf_start: jax.Array  # (M,) int32 first slot in sorted-triangle order
+    leaf_count: jax.Array  # (M,) int32 triangles in this leaf (0 if internal)
+    # triangle data duplicated in Morton order for contiguous leaf fetches
+    tri_v0: jax.Array  # (N, 3)
+    tri_e1: jax.Array  # (N, 3)
+    tri_e2: jax.Array  # (N, 3)
+    tri_prim: jax.Array  # (N,) int32 original primitive index
+    leaf_size: int = struct.field(pytree_node=False, default=4)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.skip.shape[0]
+
+
+def _expand_bits(v: jax.Array) -> jax.Array:
+    """Spread the low 10 bits of v so there are 2 zero bits between each."""
+    v = v & jnp.uint32(0x3FF)
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def morton_codes(centroids: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """30-bit Morton codes of points normalized to the [lo, hi] box."""
+    extent = jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip((centroids - lo) / extent, 0.0, 0.99999994)
+    xyz = (q * 1024.0).astype(jnp.uint32)
+    return (
+        (_expand_bits(xyz[..., 0]) << 2)
+        | (_expand_bits(xyz[..., 1]) << 1)
+        | _expand_bits(xyz[..., 2])
+    )
+
+
+def _clz32(x: jax.Array) -> jax.Array:
+    """Count leading zeros of uint32 (vectorized binary reduction)."""
+    x = x.astype(jnp.uint32)
+    n = jnp.full(x.shape, 32, jnp.int32)
+    for s in (16, 8, 4, 2, 1):
+        y = x >> jnp.uint32(s)
+        gt = y > 0
+        n = jnp.where(gt, n - s, n)
+        x = jnp.where(gt, y, x)
+    return n - x.astype(jnp.int32)  # x ends as 0 or 1
+
+
+def _delta(codes: jax.Array, i: jax.Array, j: jax.Array, n: int) -> jax.Array:
+    """Length of the common prefix of the 62-bit keys (code<<32 | index) at
+    i and j; -1 when j is out of range (Karras 2012 convention)."""
+    valid = (j >= 0) & (j < n)
+    j_safe = jnp.clip(j, 0, n - 1)
+    ci = codes[i]
+    cj = codes[j_safe]
+    same = ci == cj
+    prefix_code = _clz32(ci ^ cj)
+    prefix_idx = 32 + _clz32(i.astype(jnp.uint32) ^ j_safe.astype(jnp.uint32))
+    prefix = jnp.where(same, prefix_idx, prefix_code)
+    return jnp.where(valid, prefix, -1)
+
+
+def build_bvh(
+    v0: jax.Array,
+    e1: jax.Array,
+    e2: jax.Array,
+    leaf_size: int = 4,
+) -> BVH:
+    """Build the threaded LBVH for a triangle soup (jit-friendly)."""
+    n = v0.shape[0]
+    if n == 1:
+        # degenerate single-leaf tree
+        p1 = v0 + e1
+        p2 = v0 + e2
+        bmin = jnp.minimum(jnp.minimum(v0, p1), p2)
+        bmax = jnp.maximum(jnp.maximum(v0, p1), p2)
+        return BVH(
+            aabb_min=bmin,
+            aabb_max=bmax,
+            skip=jnp.array([1], jnp.int32),
+            is_leaf=jnp.array([True]),
+            leaf_start=jnp.array([0], jnp.int32),
+            leaf_count=jnp.array([1], jnp.int32),
+            tri_v0=v0,
+            tri_e1=e1,
+            tri_e2=e2,
+            tri_prim=jnp.array([0], jnp.int32),
+            leaf_size=leaf_size,
+        )
+
+    p1 = v0 + e1
+    p2 = v0 + e2
+    tri_min = jnp.minimum(jnp.minimum(v0, p1), p2)  # (N, 3)
+    tri_max = jnp.maximum(jnp.maximum(v0, p1), p2)
+    centroid = (tri_min + tri_max) * 0.5
+    scene_lo = jnp.min(tri_min, axis=0)
+    scene_hi = jnp.max(tri_max, axis=0)
+
+    codes = morton_codes(centroid, scene_lo, scene_hi)
+    order = jnp.argsort(codes, stable=True).astype(jnp.int32)
+    codes = codes[order]
+
+    # ---- Karras topology: per internal node i in [0, n-2]
+    i = jnp.arange(n - 1, dtype=jnp.int32)
+    d_right = _delta(codes, i, i + 1, n)
+    d_left = _delta(codes, i, i - 1, n)
+    d = jnp.where(d_right > d_left, 1, -1).astype(jnp.int32)
+    delta_min = _delta(codes, i, i - d, n)
+
+    # upper bound for the range length (doubling search, vectorized)
+    l_max = jnp.full(n - 1, 2, jnp.int32)
+    for _ in range(32):
+        probe = _delta(codes, i, i + l_max * d, n) > delta_min
+        grew = probe & (l_max < 2 * n)
+        l_max = jnp.where(grew, l_max * 2, l_max)
+    # binary search the exact length
+    l = jnp.zeros(n - 1, jnp.int32)
+    t = l_max // 2
+    for _ in range(32):
+        cond = (t > 0) & (_delta(codes, i, i + (l + t) * d, n) > delta_min)
+        l = jnp.where(cond, l + t, l)
+        t = t // 2
+    j = i + l * d
+    first = jnp.minimum(i, j)
+    last = jnp.maximum(i, j)
+
+    # split search: find the highest differing bit position inside [first,last]
+    delta_node = _delta(codes, i, j, n)
+    s = jnp.zeros(n - 1, jnp.int32)
+    t = (l + 1) // 2  # ceil(l / 2)
+    for _ in range(32):
+        cond = (t > 0) & (
+            _delta(codes, i, i + (s + t) * d, n) > delta_node
+        )
+        s = jnp.where(cond, s + t, s)
+        t = jnp.where(t > 1, (t + 1) // 2, 0)
+    split = i + s * d + jnp.minimum(d, 0)
+
+    # children: node ids — internal nodes are 0..n-2, leaves are n-1..2n-2
+    left_is_leaf = split == first
+    right_is_leaf = (split + 1) == last
+    left = jnp.where(left_is_leaf, split + (n - 1), split)
+    right = jnp.where(right_is_leaf, split + 1 + (n - 1), split + 1)
+
+    # ---- node ranges (leaf index ranges, all 2n-1 nodes)
+    leaf_ids = jnp.arange(n, dtype=jnp.int32)
+    range_first = jnp.concatenate([first, leaf_ids])
+    range_last = jnp.concatenate([last, leaf_ids])
+    size = range_last - range_first + 1  # (2n-1,)
+
+    # ---- bottom-up AABB fit (fixed-point; depth <= MAX_DEPTH_PASSES)
+    leaf_min = tri_min[order]
+    leaf_max = tri_max[order]
+    node_min = jnp.concatenate([jnp.full((n - 1, 3), jnp.inf), leaf_min])
+    node_max = jnp.concatenate([jnp.full((n - 1, 3), -jnp.inf), leaf_max])
+
+    def fit(_, carry):
+        nmin, nmax = carry
+        new_min = jnp.minimum(nmin[left], nmin[right])
+        new_max = jnp.maximum(nmax[left], nmax[right])
+        nmin = nmin.at[: n - 1].set(new_min)
+        nmax = nmax.at[: n - 1].set(new_max)
+        return nmin, nmax
+
+    node_min, node_max = jax.lax.fori_loop(
+        0, MAX_DEPTH_PASSES, fit, (node_min, node_max)
+    )
+
+    # ---- leaf cut at <= leaf_size primitives
+    parent = jnp.zeros(2 * n - 1, jnp.int32)
+    parent = parent.at[left].set(jnp.arange(n - 1, dtype=jnp.int32))
+    parent = parent.at[right].set(jnp.arange(n - 1, dtype=jnp.int32))
+    parent_size = size[parent]
+    is_root = jnp.arange(2 * n - 1) == 0  # root is always internal node 0
+    is_cut_leaf = (size <= leaf_size) & ((parent_size > leaf_size) | is_root)
+
+    # ---- preorder layout: sort by (range start asc, size desc)
+    order_by_size = jnp.argsort(-size, stable=True)
+    order_by_start = jnp.argsort(range_first[order_by_size], stable=True)
+    perm = order_by_size[order_by_start]  # perm[p] = node id at preorder pos p
+
+    pre_min = node_min[perm]
+    pre_max = node_max[perm]
+    pre_size = size[perm]
+    pre_first = range_first[perm]
+    skip = (
+        jnp.arange(2 * n - 1, dtype=jnp.int32) + 2 * pre_size - 1
+    )
+    pre_leaf = is_cut_leaf[perm]
+
+    return BVH(
+        aabb_min=pre_min,
+        aabb_max=pre_max,
+        skip=skip.astype(jnp.int32),
+        is_leaf=pre_leaf,
+        leaf_start=pre_first.astype(jnp.int32),
+        leaf_count=jnp.where(pre_leaf, pre_size, 0).astype(jnp.int32),
+        tri_v0=v0[order],
+        tri_e1=e1[order],
+        tri_e2=e2[order],
+        tri_prim=order,
+        leaf_size=leaf_size,
+    )

@@ -196,7 +196,7 @@ class RayTracerScene:
     def build(
         self,
         pad_to_multiple: int = 256,
-        build_bvh: bool = False,
+        build_bvh: bool = True,
         leaf_size: int = 4,
     ):
         """Compile to a CompiledScene, rebuilding only when dirty
