@@ -192,20 +192,12 @@ def _segment(
 
     new_hit_count = where(accepted, s.hit_count + 1, s.hit_count)
 
-    # ---- first-hit AOVs (ref RayFunctions.cuh:163-167, written when
-    # hitCount == 1; shading normal after normal mapping, ref :46)
-    first = accepted & (s.hit_count == 0)
-    fm = first[..., None]
-    first_normal = where(fm, surf.shading_normal, s.first_normal)
-    first_albedo = where(fm, surf.albedo, first_albedo)
-    first_position = where(fm, hit.position, s.first_position)
-
-    # ---- emission (ref RayFunctions.cuh:168-171)
-    radiance = where(
-        accepted[..., None],
-        radiance + s.throughput * surf.emission[..., None] * surf.albedo,
-        radiance,
-    )
+    # ---- BTF material detection (ref RayFunctions.cuh:173-257 branch)
+    use_btf = config.enable_btf and scene.btf
+    if use_btf:
+        is_btf = surf.material_type == MaterialType.COMPRESSED_BTF
+    else:
+        is_btf = jnp.zeros_like(accepted)
 
     sls = config.lighting_type == EnvironmentalLightingType.SINGLE_LIGHT_SOURCE
     if sls:
@@ -217,7 +209,53 @@ def _segment(
             1.0 - env.light_size,
         )
         rng = where(accepted, rng_s, rng)
-        ambient = env.color * env.ambient_light_intensity * surf.albedo
+        illum_dir = sun_dir
+    else:
+        # ---- BRDF importance sample (ref BSDF.cuh:6-13); BTF materials
+        # sample the full hemisphere around the reflection (alpha = 0,
+        # ref RayFunctions.cuh:221)
+        cone = where(is_btf, 0.0, surf.metallic)
+        rng_b, new_dir = sample_brdf(
+            rng, s.direction, surf.shading_normal, cone
+        )
+        illum_dir = new_dir
+
+    # ---- BTF color lookup (ref SurfaceCompressedBTF::GetValue,
+    # RayDataDefinations.hpp:326-351; out /= 256 at :347). Uses the
+    # geometric normal/tangent (BTF materials skip normal mapping).
+    btf_color = jnp.ones_like(surf.albedo)
+    if use_btf:
+        from raytracerfacility_tpu.mlvq.btf import btf_get_value, compute_angles
+
+        view_theta, view_phi = compute_angles(-s.direction, hit.normal, hit.tangent)
+        illum_theta, illum_phi = compute_angles(illum_dir, hit.normal, hit.tangent)
+        for k, tbl in enumerate(scene.btf):
+            mask = is_btf & (surf.btf_index == k)
+            val = btf_get_value(
+                tbl, hit.tex_coord, illum_theta, illum_phi, view_theta, view_phi
+            ) / 256.0
+            btf_color = where(mask[..., None], val, btf_color)
+
+    # ---- first-hit AOVs (ref RayFunctions.cuh:163-167, 251-255: written
+    # when hitCount == 1; albedo = btfColor for BTF materials)
+    first = accepted & (s.hit_count == 0)
+    fm = first[..., None]
+    aov_albedo = where(is_btf[..., None], btf_color, surf.albedo)
+    first_normal = where(fm, surf.shading_normal, s.first_normal)
+    first_albedo = where(fm, aov_albedo, first_albedo)
+    first_position = where(fm, hit.position, s.first_position)
+
+    # ---- emission (ref RayFunctions.cuh:168-171; the BTF branch adds no
+    # emission term, ref :256)
+    radiance = where(
+        (accepted & ~is_btf)[..., None],
+        radiance + s.throughput * surf.emission[..., None] * surf.albedo,
+        radiance,
+    )
+
+    if sls:
+        base_color = where(is_btf[..., None], btf_color, surf.albedo)
+        ambient = env.color * env.ambient_light_intensity * base_color
         radiance = where(
             accepted[..., None], radiance + s.throughput * ambient, radiance
         )
@@ -227,7 +265,7 @@ def _segment(
         sun_radiance = calculate_environmental_light(
             hit.position, sun_dir, env, config.lighting_type
         )
-        contrib = s.throughput * sun_radiance * ndotl[..., None] * surf.albedo
+        contrib = s.throughput * sun_radiance * ndotl[..., None] * base_color
         radiance = where(
             (do_nee & ~occluded)[..., None], radiance + contrib, radiance
         )
@@ -238,25 +276,30 @@ def _segment(
         new_throughput = s.throughput
         new_tmin = s.tmin
     else:
-        # ---- BRDF continuation (ref :134-161); a hit past the bounce budget
-        # keeps only its emission (ref :93-95 guard)
+        # ---- continuation (ref :134-161); a hit past the bounce budget
+        # keeps only its emission (ref :93-95 guard). BTF lanes weight by
+        # the BTF lookup alone (ref :247) and push the origin off the
+        # surface (ref :227-228).
         cont = accepted & (new_hit_count <= config.bounces)
-        rng_b, new_dir = sample_brdf(
-            rng, s.direction, surf.shading_normal, surf.metallic
-        )
         rng = where(cont, rng_b, rng)
         weight = brdf_weight(
             surf.shading_normal, new_dir, surf.roughness, surf.metallic
         )
-        seg_throughput = (
+        default_throughput = (
             (1.0 - surf.subsurface_factor[..., None])
             * surf.albedo
             * weight[..., None]
         )
+        seg_throughput = where(is_btf[..., None], btf_color, default_throughput)
         new_throughput = where(
             cont[..., None], s.throughput * seg_throughput, s.throughput
         )
-        new_origin = where(cont[..., None], hit.position, s.origin)
+        bounce_origin = where(
+            is_btf[..., None],
+            hit.position + hit.normal * 1e-3,
+            hit.position,
+        )
+        new_origin = where(cont[..., None], bounce_origin, s.origin)
         new_direction = where(cont[..., None], new_dir, s.direction)
         new_tmin = where(cont, _BOUNCE_TMIN, s.tmin)
 
@@ -291,13 +334,34 @@ def trace_radiance(
 ) -> PathState:
     """Run the full segment loop for a ray pool; returns the final state
     (radiance = path energy, first_* = AOVs)."""
+    state, _ = trace_radiance_counted(
+        scene, env, config, origin, direction, rng, tmin
+    )
+    return state
+
+
+def trace_radiance_counted(
+    scene: CompiledScene,
+    env: EnvironmentState,
+    config: RenderConfig,
+    origin: jax.Array,
+    direction: jax.Array,
+    rng: jax.Array,
+    tmin,
+) -> tuple[PathState, jax.Array]:
+    """Like :func:`trace_radiance` but also returns the number of live rays
+    actually traced across all segments (the honest Mrays/s numerator)."""
     state = init_path_state(origin, direction, rng, tmin)
 
-    def body(state: PathState, _):
-        return _segment(scene, env, config, state), None
+    def body(carry, _):
+        state, rays = carry
+        rays = rays + jnp.sum(state.active.astype(jnp.float32))
+        return (_segment(scene, env, config, state), rays), None
 
-    state, _ = jax.lax.scan(body, state, None, length=config.max_segments)
-    return state
+    (state, rays), _ = jax.lax.scan(
+        body, (state, jnp.float32(0.0)), None, length=config.max_segments
+    )
+    return state, rays
 
 
 # --------------------------------------------------------------------------
@@ -325,36 +389,49 @@ def init_frame(width: int, height: int) -> FrameBuffers:
     )
 
 
-def render_frame(
+def render_samples(
     scene: CompiledScene,
     camera: CameraState,
     env: EnvironmentState,
     config: RenderConfig,
-    frame: FrameBuffers,
-) -> FrameBuffers:
-    """One progressive frame (the ``__raygen__CR`` + accumulation logic,
-    ref ptx/CameraRendering.cu:32-147).
+    frame_id: jax.Array,
+    row_offset: jax.Array | int = 0,
+    local_height: int | None = None,
+    sample_count: int | None = None,
+    sample_stream: jax.Array | int = 0,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Trace ``sample_count`` jittered samples for a band of pixel rows and
+    return *linear* per-pixel mean accumulators (color, normal, albedo,
+    position) plus the live-ray count.
 
-    Per-pixel RNG is seeded with (pixel index, frame id) exactly like the
-    reference (ref :42-44); the spp loop is sequential per pixel with a
-    continuous RNG stream, matching the reference's sample loop.
+    This is the shardable core of ``__raygen__CR``
+    (ref ptx/CameraRendering.cu:32-110): ``row_offset``/``local_height``
+    carve the image across devices, ``sample_stream`` decorrelates RNG
+    streams when samples are sharded. Per-pixel RNG seeding matches the
+    reference: Init(pixel index, frame id) (ref :42-44), with the stream id
+    mixed into the seed word for sharded spp.
     """
-    height, width = config.height, config.width
+    height = local_height if local_height is not None else config.height
+    width = config.width
+    sample_count = config.samples if sample_count is None else sample_count
     iy, ix = jnp.meshgrid(
         jnp.arange(height, dtype=jnp.float32),
         jnp.arange(width, dtype=jnp.float32),
         indexing="ij",
     )
-    pixel_index = (ix + width * iy).astype(jnp.uint32)
-    rng = lcg_init(pixel_index, jnp.broadcast_to(
-        frame.frame_id.astype(jnp.uint32), pixel_index.shape))
+    iy_global = iy + jnp.asarray(row_offset, jnp.float32)
+    pixel_index = (ix + width * iy_global).astype(jnp.uint32)
+    seed = frame_id.astype(jnp.uint32) + jnp.uint32(0x9E3779B1) * jnp.asarray(
+        sample_stream, jnp.uint32
+    )
+    rng = lcg_init(pixel_index, jnp.broadcast_to(seed, pixel_index.shape))
 
     def sample_body(carry, _):
-        rng, acc_color, acc_normal, acc_albedo, acc_position = carry
+        rng, acc_color, acc_normal, acc_albedo, acc_position, rays = carry
         rng, origin, direction = generate_camera_rays(
-            camera, rng, ix, iy, width, height
+            camera, rng, ix, iy_global, width, config.height
         )
-        path = trace_radiance(
+        path, traced = trace_radiance_counted(
             scene, env, config, origin, direction, rng, jnp.float32(0.0)
         )
         inv_n = 1.0 / config.samples
@@ -364,13 +441,32 @@ def render_frame(
             acc_normal + path.first_normal * inv_n,
             acc_albedo + path.first_albedo * inv_n,
             acc_position + path.first_position * inv_n,
+            rays + traced,
         ), None
 
     zeros = jnp.zeros((height, width, 3), jnp.float32)
-    (rng, pixel_color, pixel_normal, pixel_albedo, pixel_position), _ = jax.lax.scan(
-        sample_body, (rng, zeros, zeros, zeros, zeros), None, length=config.samples
+    carry, _ = jax.lax.scan(
+        sample_body,
+        (rng, zeros, zeros, zeros, zeros, jnp.float32(0.0)),
+        None,
+        length=sample_count,
     )
+    _, pixel_color, pixel_normal, pixel_albedo, pixel_position, rays = carry
+    return pixel_color, pixel_normal, pixel_albedo, pixel_position, rays
 
+
+def finalize_frame(
+    camera: CameraState,
+    config: RenderConfig,
+    frame: FrameBuffers,
+    pixel_color: jax.Array,
+    pixel_normal: jax.Array,
+    pixel_albedo: jax.Array,
+    pixel_position: jax.Array,
+) -> FrameBuffers:
+    """Progressive accumulation + gamma encode + AOV packing
+    (ref ptx/CameraRendering.cu:112-147)."""
+    height, width = pixel_color.shape[0], config.width
     # ---- progressive accumulation (ref CameraRendering.cu:113-134).
     # Reproduced exactly, including the reference's weighting quirk: history
     # is weighted by frame_id even though it holds frame_id - 1 samples.
@@ -409,4 +505,34 @@ def render_frame(
     )
 
 
+def render_frame(
+    scene: CompiledScene,
+    camera: CameraState,
+    env: EnvironmentState,
+    config: RenderConfig,
+    frame: FrameBuffers,
+) -> FrameBuffers:
+    """One progressive frame: sample pass + finalize (single device)."""
+    color, normal, albedo, position, _ = render_samples(
+        scene, camera, env, config, frame.frame_id
+    )
+    return finalize_frame(camera, config, frame, color, normal, albedo, position)
+
+
+def render_frame_counted(
+    scene: CompiledScene,
+    camera: CameraState,
+    env: EnvironmentState,
+    config: RenderConfig,
+    frame: FrameBuffers,
+) -> tuple[FrameBuffers, jax.Array]:
+    """render_frame that also reports live rays traced (for benchmarks)."""
+    color, normal, albedo, position, rays = render_samples(
+        scene, camera, env, config, frame.frame_id
+    )
+    out = finalize_frame(camera, config, frame, color, normal, albedo, position)
+    return out, rays
+
+
 render_frame_jit = jax.jit(render_frame, static_argnames=("config",))
+render_frame_counted_jit = jax.jit(render_frame_counted, static_argnames=("config",))

@@ -157,6 +157,7 @@ class RayTracerCamera:
             alpha_segments=2 if self._needs_alpha_test() else 0,
             atmosphere_samples=env.num_samples,
             atmosphere_samples_light=env.num_samples_light,
+            enable_btf=compiled.btf is not None,
         )
         self._frame = render_frame_jit(
             compiled, self.camera.state(), env.state(), config, self._frame

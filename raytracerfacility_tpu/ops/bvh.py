@@ -37,24 +37,80 @@ MAX_DEPTH_PASSES = 64  # >= max radix-tree depth with 62-bit tie-broken keys
 
 @struct.dataclass
 class BVH:
-    """Threaded BVH in DFS preorder (M = 2N-1 nodes)."""
+    """Threaded BVH in DFS preorder, packed for single-gather traversal.
 
-    aabb_min: jax.Array  # (M, 3)
-    aabb_max: jax.Array  # (M, 3)
-    skip: jax.Array  # (M,) int32 preorder skip link
-    is_leaf: jax.Array  # (M,) bool (cut leaves)
-    leaf_start: jax.Array  # (M,) int32 first slot in sorted-triangle order
-    leaf_count: jax.Array  # (M,) int32 triangles in this leaf (0 if internal)
-    # triangle data duplicated in Morton order for contiguous leaf fetches
-    tri_v0: jax.Array  # (N, 3)
-    tri_e1: jax.Array  # (N, 3)
-    tri_e2: jax.Array  # (N, 3)
+    ``nodes`` packs one preorder node per row so a traversal step is ONE
+    row gather: cols 0-2 = aabb min, 3-5 = aabb max, col 6 = skip link
+    (int32 bitcast), col 7 = leaf meta (int32 bitcast:
+    ``count << 27 | start``; 0 for internal nodes — count > 0 IS the leaf
+    flag). ``tris`` packs Morton-ordered triangles: cols 0-8 = v0/e1/e2,
+    col 9 = original primitive id (int32 bitcast), cols 10-11 pad.
+
+    Row-packing matters: the traversal loop body is unrolled so XLA fuses
+    many steps into one kernel with the tables VMEM-resident; packed rows
+    keep that at one gather per step instead of six.
+    """
+
+    nodes: jax.Array  # (M, 8) f32 (+bitcast int32 meta columns)
+    tris: jax.Array  # (N, 12) f32 (+bitcast prim id column)
     tri_prim: jax.Array  # (N,) int32 original primitive index
     leaf_size: int = struct.field(pytree_node=False, default=4)
 
     @property
     def num_nodes(self) -> int:
-        return self.skip.shape[0]
+        return self.nodes.shape[0]
+
+    # convenience views (tests / debugging)
+    @property
+    def aabb_min(self) -> jax.Array:
+        return self.nodes[:, 0:3]
+
+    @property
+    def aabb_max(self) -> jax.Array:
+        return self.nodes[:, 3:6]
+
+    @property
+    def skip(self) -> jax.Array:
+        return jax.lax.bitcast_convert_type(self.nodes[:, 6], jnp.int32)
+
+    @property
+    def leaf_meta(self) -> jax.Array:
+        return jax.lax.bitcast_convert_type(self.nodes[:, 7], jnp.int32)
+
+
+def pack_nodes(
+    aabb_min: jax.Array,
+    aabb_max: jax.Array,
+    skip: jax.Array,
+    leaf_start: jax.Array,
+    leaf_count: jax.Array,
+) -> jax.Array:
+    meta = jnp.where(leaf_count > 0, (leaf_count << 27) | leaf_start, 0)
+    return jnp.concatenate(
+        [
+            aabb_min,
+            aabb_max,
+            jax.lax.bitcast_convert_type(skip.astype(jnp.int32), jnp.float32)[:, None],
+            jax.lax.bitcast_convert_type(meta.astype(jnp.int32), jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+
+
+def pack_tris(
+    v0: jax.Array, e1: jax.Array, e2: jax.Array, prim: jax.Array
+) -> jax.Array:
+    n = v0.shape[0]
+    return jnp.concatenate(
+        [
+            v0,
+            e1,
+            e2,
+            jax.lax.bitcast_convert_type(prim.astype(jnp.int32), jnp.float32)[:, None],
+            jnp.zeros((n, 2), jnp.float32),
+        ],
+        axis=1,
+    )
 
 
 def _expand_bits(v: jax.Array) -> jax.Array:
@@ -119,17 +175,14 @@ def build_bvh(
         p2 = v0 + e2
         bmin = jnp.minimum(jnp.minimum(v0, p1), p2)
         bmax = jnp.maximum(jnp.maximum(v0, p1), p2)
+        prim = jnp.array([0], jnp.int32)
         return BVH(
-            aabb_min=bmin,
-            aabb_max=bmax,
-            skip=jnp.array([1], jnp.int32),
-            is_leaf=jnp.array([True]),
-            leaf_start=jnp.array([0], jnp.int32),
-            leaf_count=jnp.array([1], jnp.int32),
-            tri_v0=v0,
-            tri_e1=e1,
-            tri_e2=e2,
-            tri_prim=jnp.array([0], jnp.int32),
+            nodes=pack_nodes(
+                bmin, bmax, jnp.array([1], jnp.int32),
+                jnp.array([0], jnp.int32), jnp.array([1], jnp.int32),
+            ),
+            tris=pack_tris(v0, e1, e2, prim),
+            tri_prim=prim,
             leaf_size=leaf_size,
         )
 
@@ -234,15 +287,14 @@ def build_bvh(
     pre_leaf = is_cut_leaf[perm]
 
     return BVH(
-        aabb_min=pre_min,
-        aabb_max=pre_max,
-        skip=skip.astype(jnp.int32),
-        is_leaf=pre_leaf,
-        leaf_start=pre_first.astype(jnp.int32),
-        leaf_count=jnp.where(pre_leaf, pre_size, 0).astype(jnp.int32),
-        tri_v0=v0[order],
-        tri_e1=e1[order],
-        tri_e2=e2[order],
+        nodes=pack_nodes(
+            pre_min,
+            pre_max,
+            skip.astype(jnp.int32),
+            pre_first.astype(jnp.int32),
+            jnp.where(pre_leaf, pre_size, 0).astype(jnp.int32),
+        ),
+        tris=pack_tris(v0[order], e1[order], e2[order], order),
         tri_prim=order,
         leaf_size=leaf_size,
     )

@@ -191,12 +191,21 @@ def generate_camera_rays(
     sy = (iy + jy - half_y) / half_y
 
     inv = camera.inverse_projection_view  # (4, 4), row-major, column vectors
-    ndc_near = jnp.stack([sx, sy, -jnp.ones_like(sx), jnp.ones_like(sx)], axis=-1)
-    ndc_far = jnp.stack([sx, sy, jnp.ones_like(sx), jnp.ones_like(sx)], axis=-1)
-    start = ndc_near @ inv.T
-    end = ndc_far @ inv.T
-    start = start[..., :3] / start[..., 3:4]
-    end = end[..., :3] / end[..., 3:4]
+    # NOTE: written as explicit broadcasting mul-adds, NOT a matmul — the MXU
+    # truncates f32 matmul operands to bf16 by default, and the w row of the
+    # inverse projection suffers catastrophic cancellation (-4.995 + 5.005),
+    # which collapses to exactly 0 in bf16 and NaNs every ray direction.
+    def apply(ndc_z):
+        col = (
+            sx[..., None] * inv[:, 0]
+            + sy[..., None] * inv[:, 1]
+            + ndc_z * inv[:, 2]
+            + inv[:, 3]
+        )
+        return col[..., :3] / col[..., 3:4]
+
+    start = apply(-1.0)
+    end = apply(1.0)
     primary_dir = normalize(end - start)
 
     convergence = start + primary_dir * camera.focal_length
