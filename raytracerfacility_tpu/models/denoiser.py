@@ -1,0 +1,227 @@
+"""CNN denoiser: the TPU replacement for the OptiX AI denoiser.
+
+The reference feeds color + albedo + normal guide layers to
+``optixDenoiserInvoke`` and blends the result with the noisy input by
+``blendFactor = (1 - strength) / frameId`` when accumulating
+(ref RayTracer.cu:494-557, CameraProperties::Resize denoiser setup
+:48-92). Here the denoiser is a small residual U-Net (flax linen) over the
+same 9 guide channels, trained on (low-spp, high-spp) pairs rendered by the
+framework itself; blending semantics are preserved exactly.
+
+MXU notes: convolutions run in bf16 with f32 accumulation
+(``preferred_element_type``), channel counts are multiples of 8, and the
+network is shallow (3 scales) so a 1080p denoise is a few ms.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+import optax
+
+
+class ConvBlock(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3), dtype=jnp.bfloat16,
+                    param_dtype=jnp.float32)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (3, 3), dtype=jnp.bfloat16,
+                    param_dtype=jnp.float32)(x)
+        return nn.relu(x)
+
+
+class DenoiserUNet(nn.Module):
+    """3-scale residual U-Net: 9 input channels (color, albedo, normal) ->
+    residual RGB correction added to the noisy color."""
+
+    base_features: int = 24
+
+    @nn.compact
+    def __call__(self, color, albedo, normal):
+        x = jnp.concatenate([color, albedo, normal], axis=-1)
+        x = x.astype(jnp.bfloat16)
+
+        e0 = ConvBlock(self.base_features)(x)
+        d1 = nn.avg_pool(e0, (2, 2), strides=(2, 2))
+        e1 = ConvBlock(self.base_features * 2)(d1)
+        d2 = nn.avg_pool(e1, (2, 2), strides=(2, 2))
+        e2 = ConvBlock(self.base_features * 4)(d2)
+
+        u1 = jax.image.resize(
+            e2, e1.shape[:-1] + (e2.shape[-1],), method="nearest"
+        )
+        m1 = ConvBlock(self.base_features * 2)(
+            jnp.concatenate([u1, e1], axis=-1)
+        )
+        u0 = jax.image.resize(
+            m1, e0.shape[:-1] + (m1.shape[-1],), method="nearest"
+        )
+        m0 = ConvBlock(self.base_features)(jnp.concatenate([u0, e0], axis=-1))
+
+        residual = nn.Conv(3, (3, 3), dtype=jnp.bfloat16,
+                           param_dtype=jnp.float32)(m0)
+        return (color + residual.astype(jnp.float32)).astype(jnp.float32)
+
+
+def _pad_to_multiple(img: jax.Array, multiple: int = 4) -> tuple[jax.Array, tuple]:
+    h, w = img.shape[-3], img.shape[-2]
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    if ph or pw:
+        pad = [(0, 0)] * (img.ndim - 3) + [(0, ph), (0, pw), (0, 0)]
+        img = jnp.pad(img, pad, mode="edge")
+    return img, (h, w)
+
+
+@dataclasses.dataclass
+class Denoiser:
+    """Host-side wrapper mirroring the OptiX denoiser lifecycle
+    (create/setup/invoke, ref RayTracer.cu:48-92, 508-556)."""
+
+    base_features: int = 24
+    params: dict | None = None
+
+    def __post_init__(self):
+        self.model = DenoiserUNet(self.base_features)
+
+    def init(self, seed: int = 0) -> dict:
+        dummy = jnp.zeros((1, 32, 32, 3))
+        self.params = self.model.init(
+            jax.random.PRNGKey(seed), dummy, dummy, dummy
+        )
+        return self.params
+
+    def denoise(
+        self,
+        color: jax.Array,  # (H, W, 3/4) linear or gamma-encoded color
+        albedo: jax.Array,
+        normal: jax.Array,
+        blend_factor: float | jax.Array = 0.0,
+    ) -> jax.Array:
+        """Single-image denoise with the reference's blend semantics:
+        output = denoised * (1 - blend) + noisy * blend."""
+        assert self.params is not None, "init() or load params first"
+        c = color[None, ..., :3]
+        a = albedo[None, ..., :3]
+        n = normal[None, ..., :3]
+        c, (h, w) = _pad_to_multiple(c)
+        a, _ = _pad_to_multiple(a)
+        n, _ = _pad_to_multiple(n)
+        out = self.model.apply(self.params, c, a, n)[0, :h, :w]
+        blend = jnp.asarray(blend_factor, jnp.float32)
+        return out * (1.0 - blend) + color[..., :3] * blend
+
+    @staticmethod
+    def blend_factor(strength: float, frame_id: int, accumulate: bool) -> float:
+        """Ref RayTracer.cu:515-521."""
+        if accumulate and frame_id > 1:
+            return (1.0 - strength) / frame_id
+        return 1.0 - strength
+
+
+# --------------------------------------------------------------------------
+# training
+# --------------------------------------------------------------------------
+
+
+def denoiser_loss(model: DenoiserUNet, params, batch) -> jax.Array:
+    """L1 + gradient loss on (noisy, albedo, normal, clean) batches."""
+    noisy, albedo, normal, clean = batch
+    pred = model.apply(params, noisy, albedo, normal)
+    l1 = jnp.mean(jnp.abs(pred - clean))
+    dy_p = pred[:, 1:] - pred[:, :-1]
+    dy_c = clean[:, 1:] - clean[:, :-1]
+    dx_p = pred[:, :, 1:] - pred[:, :, :-1]
+    dx_c = clean[:, :, 1:] - clean[:, :, :-1]
+    grad = jnp.mean(jnp.abs(dy_p - dy_c)) + jnp.mean(jnp.abs(dx_p - dx_c))
+    return l1 + 0.5 * grad
+
+
+def make_train_step(model: DenoiserUNet, optimizer):
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(
+            lambda p: denoiser_loss(model, p, batch)
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_sharded_train_step(model: DenoiserUNet, optimizer, mesh, axis: str = "tile"):
+    """Data-parallel training step over a device mesh: batch sharded on
+    ``axis``, gradients all-reduced with ``lax.pmean`` over ICI. This is the
+    multi-chip training path exercised by ``dryrun_multichip``."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def step(params, opt_state, batch):
+        def shard_fn(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(
+                lambda p: denoiser_loss(model, p, batch)
+            )(params)
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        batch_spec = tuple(P(axis) for _ in batch)
+        return shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), batch_spec),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(params, opt_state, batch)
+
+    return jax.jit(step)
+
+
+def render_training_pairs(
+    scene,
+    camera,
+    env,
+    config,
+    num_pairs: int = 4,
+    clean_spp: int = 64,
+    seed: int = 0,
+):
+    """Self-supervised data: (1-spp noisy, AOVs, high-spp clean) tiles
+    rendered by the framework's own path tracer."""
+    import dataclasses as dc
+
+    from raytracerfacility_tpu.models.pathtracer import (
+        init_frame,
+        render_frame_jit,
+    )
+
+    noisy_cfg = dc.replace(config, samples=1, accumulate=False)
+    clean_cfg = dc.replace(config, samples=clean_spp, accumulate=False)
+    batches = []
+    for i in range(num_pairs):
+        frame_n = init_frame(config.width, config.height)
+        frame_n = dc.replace(frame_n, frame_id=jnp.int32(seed + i * 7919))
+        noisy = render_frame_jit(scene, camera, env, noisy_cfg, frame_n)
+        frame_c = init_frame(config.width, config.height)
+        frame_c = dc.replace(frame_c, frame_id=jnp.int32(seed + i * 7919))
+        clean = render_frame_jit(scene, camera, env, clean_cfg, frame_c)
+        batches.append(
+            (
+                noisy.color[..., :3],
+                noisy.albedo[..., :3],
+                noisy.normal[..., :3],
+                clean.color[..., :3],
+            )
+        )
+    return tuple(jnp.stack(x) for x in zip(*batches))

@@ -84,6 +84,7 @@ class RenderConfig:
     atmosphere_samples: int = 16
     atmosphere_samples_light: int = 8
     enable_btf: bool = False
+    enable_subsurface: bool = False
 
     @property
     def max_segments(self) -> int:
@@ -285,22 +286,112 @@ def _segment(
         weight = brdf_weight(
             surf.shading_normal, new_dir, surf.roughness, surf.metallic
         )
-        default_throughput = (
-            (1.0 - surf.subsurface_factor[..., None])
-            * surf.albedo
-            * weight[..., None]
-        )
+        # ---- BSSRDF (ref BSSDF.cuh:45-89 + RayFunctions.cuh:96-133).
+        # The reference splits the first hit deterministically into a
+        # subsurface child (weight ssFactor) AND a BRDF child (weight
+        # 1 - ssFactor). A wavefront engine cannot fork lanes, so the split
+        # is sampled stochastically with probability ssFactor — an unbiased
+        # estimator of the same sum (both branch weights drop their
+        # selection factors).
+        ss_factor_term = 1.0 - surf.subsurface_factor[..., None]
+        ss_chosen = jnp.zeros_like(accepted)
+        ss_valid = jnp.zeros_like(accepted)
+        if config.enable_subsurface:
+            from raytracerfacility_tpu.ops.math3d import rotate_about_axis
+            from raytracerfacility_tpu.ops.traverse import (
+                trace_collect_same_instance,
+            )
+
+            assert scene.bvh is not None, "subsurface requires a built BVH"
+            eligible = (
+                accepted
+                & (s.hit_count == 0)
+                & (surf.subsurface_factor > 0.0)
+                & (surf.subsurface_radius[..., 0] > 0.0)
+                & ~is_btf
+            )
+            rng_ss, u_sel = lcg_next(rng)
+            ss_chosen = eligible & (u_sel < surf.subsurface_factor)
+            # both branches drop their selection weight
+            ss_factor_term = where(eligible[..., None], 1.0, ss_factor_term)
+
+            # disk sample above the entry point (ref BSSDF.cuh:49-56)
+            radius = surf.subsurface_radius[..., 0]
+            disk_normal = surf.shading_normal
+            rng_ss, u_r = lcg_next(rng_ss)
+            rng_ss, u_a = lcg_next(rng_ss)
+            disk_radius = radius * jnp.sqrt(u_r)
+            dist = jnp.sqrt(jnp.maximum(radius * radius - disk_radius * disk_radius, 0.0))
+            swizzled = jnp.stack(
+                [disk_normal[..., 1], disk_normal[..., 2], disk_normal[..., 0]],
+                axis=-1,
+            )
+            rim = rotate_about_axis(
+                swizzled, disk_normal, 2.0 * jnp.pi * u_a
+            )
+            disk_center = hit.position + radius[..., None] * disk_normal / 2.0
+            sample_pos = disk_center + disk_radius[..., None] * rim
+
+            # probe: collect <=4 same-instance hits (ref BSSDF.cuh:63-76)
+            count, _, rec_prim, rec_u, rec_v = trace_collect_same_instance(
+                scene.bvh,
+                sample_pos,
+                -disk_normal,
+                dist,
+                radius + dist,
+                hit.instance,
+            )
+            rng_ss, u_pick = lcg_next(rng_ss)
+            pick = jnp.clip(
+                (u_pick * count.astype(jnp.float32)).astype(jnp.int32),
+                0,
+                jnp.maximum(count - 1, 0),
+            )
+            take = lambda a: jnp.take_along_axis(a, pick[..., None], axis=-1)[..., 0]
+            rec_hit = interpolate_hit(
+                scene, take(rec_prim), take(rec_u), take(rec_v),
+                -disk_normal, check_normal=False,
+            )
+            rec_surf = eval_material(scene, rec_hit)  # normal mapping only
+            out_normal = rec_surf.shading_normal
+            close_enough = (
+                jnp.linalg.norm(rec_hit.position - hit.position, axis=-1)
+                <= radius
+            )
+            ss_valid = ss_chosen & (count > 0) & close_enough
+
+            # exit direction: BRDF(-outNormal, outNormal) reflects to the
+            # outNormal hemisphere (ref BSSDF.cuh:84)
+            rng_ss, ss_dir = sample_brdf(
+                rng_ss, -out_normal, out_normal, surf.metallic
+            )
+            ss_weight = brdf_weight(
+                out_normal, ss_dir, surf.roughness, surf.metallic
+            )
+            ss_throughput = surf.subsurface_color * ss_weight[..., None]
+            ss_origin = rec_hit.position + out_normal * 0.01
+            rng = where(ss_chosen, rng_ss, rng)
+
+        default_throughput = ss_factor_term * surf.albedo * weight[..., None]
         seg_throughput = where(is_btf[..., None], btf_color, default_throughput)
-        new_throughput = where(
-            cont[..., None], s.throughput * seg_throughput, s.throughput
-        )
         bounce_origin = where(
             is_btf[..., None],
             hit.position + hit.normal * 1e-3,
             hit.position,
         )
+        bounce_dir = new_dir
+        if config.enable_subsurface:
+            seg_throughput = where(ss_valid[..., None], ss_throughput, seg_throughput)
+            bounce_origin = where(ss_valid[..., None], ss_origin, bounce_origin)
+            bounce_dir = where(ss_valid[..., None], ss_dir, bounce_dir)
+            # a chosen-but-failed subsurface sample contributes nothing
+            cont = cont & ~(ss_chosen & ~ss_valid)
+
+        new_throughput = where(
+            cont[..., None], s.throughput * seg_throughput, s.throughput
+        )
         new_origin = where(cont[..., None], bounce_origin, s.origin)
-        new_direction = where(cont[..., None], new_dir, s.direction)
+        new_direction = where(cont[..., None], bounce_dir, s.direction)
         new_tmin = where(cont, _BOUNCE_TMIN, s.tmin)
 
     # ---- alpha-rejected lanes continue the same ray past the hit;

@@ -106,6 +106,10 @@ class RayTracerCamera:
         self.scene = scene
         self.camera = camera or CameraProperties()
         self.output_type = OutputType.COLOR
+        # optional CNN denoiser (the OptiX denoiser slot,
+        # ref RayTracer.cu:494-557); set to a models.denoiser.Denoiser with
+        # params to enable
+        self.denoiser = None
         self._frame: FrameBuffers | None = None
         self._last_env: EnvironmentProperties | None = None
         self._last_ray: RayProperties | None = None
@@ -158,11 +162,46 @@ class RayTracerCamera:
             atmosphere_samples=env.num_samples,
             atmosphere_samples_light=env.num_samples_light,
             enable_btf=compiled.btf is not None,
+            enable_subsurface=self._has_subsurface() and compiled.bvh is not None,
         )
         self._frame = render_frame_jit(
             compiled, self.camera.state(), env.state(), config, self._frame
         )
+        # CNN denoise of the COLOR output (the accumulation buffer stays
+        # raw, like the reference's separate denoised blit buffer,
+        # ref RayTracer.cu:477-556)
+        if (
+            self.denoiser is not None
+            and self.denoiser.params is not None
+            and self.output_type == OutputType.COLOR
+            and self.camera.denoiser_strength > 0.0
+        ):
+            from raytracerfacility_tpu.models.denoiser import Denoiser
+
+            blend = Denoiser.blend_factor(
+                self.camera.denoiser_strength,
+                int(self._frame.frame_id),
+                self.camera.accumulate,
+            )
+            denoised = self.denoiser.denoise(
+                self._frame.color,
+                self._frame.albedo,
+                self._frame.normal,
+                blend_factor=blend,
+            )
+            out = np.ones(
+                (denoised.shape[0], denoised.shape[1], 4), np.float32
+            )
+            out[..., :3] = np.asarray(denoised)
+            return out
         return np.asarray(self._frame.color)
+
+    def _has_subsurface(self) -> bool:
+        for mat in self.scene.materials.values():
+            p = mat.properties
+            if p.subsurface_factor > 0.0 and p.subsurface_radius[0] > 0.0:
+                return True
+        return False
 
     def _needs_alpha_test(self) -> bool:
         """Static decision: only pay for cutout segments when some material

@@ -98,16 +98,27 @@ def pack_nodes(
 
 
 def pack_tris(
-    v0: jax.Array, e1: jax.Array, e2: jax.Array, prim: jax.Array
+    v0: jax.Array,
+    e1: jax.Array,
+    e2: jax.Array,
+    prim: jax.Array,
+    instance: jax.Array | None = None,
 ) -> jax.Array:
+    """col 10 carries the instance slot (for the BSSRDF same-instance probe,
+    ref BSSDF.cuh:18-24); col 11 pads the row to 12."""
     n = v0.shape[0]
+    if instance is None:
+        instance = jnp.zeros(n, jnp.int32)
     return jnp.concatenate(
         [
             v0,
             e1,
             e2,
             jax.lax.bitcast_convert_type(prim.astype(jnp.int32), jnp.float32)[:, None],
-            jnp.zeros((n, 2), jnp.float32),
+            jax.lax.bitcast_convert_type(instance.astype(jnp.int32), jnp.float32)[
+                :, None
+            ],
+            jnp.zeros((n, 1), jnp.float32),
         ],
         axis=1,
     )
@@ -166,6 +177,7 @@ def build_bvh(
     e1: jax.Array,
     e2: jax.Array,
     leaf_size: int = 4,
+    instance: jax.Array | None = None,
 ) -> BVH:
     """Build the threaded LBVH for a triangle soup (jit-friendly)."""
     n = v0.shape[0]
@@ -181,7 +193,7 @@ def build_bvh(
                 bmin, bmax, jnp.array([1], jnp.int32),
                 jnp.array([0], jnp.int32), jnp.array([1], jnp.int32),
             ),
-            tris=pack_tris(v0, e1, e2, prim),
+            tris=pack_tris(v0, e1, e2, prim, instance),
             tri_prim=prim,
             leaf_size=leaf_size,
         )
@@ -294,7 +306,10 @@ def build_bvh(
             pre_first.astype(jnp.int32),
             jnp.where(pre_leaf, pre_size, 0).astype(jnp.int32),
         ),
-        tris=pack_tris(v0[order], e1[order], e2[order], order),
+        tris=pack_tris(
+            v0[order], e1[order], e2[order], order,
+            None if instance is None else instance[order],
+        ),
         tri_prim=order,
         leaf_size=leaf_size,
     )

@@ -24,6 +24,7 @@ count and to leaf nodes).
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +32,10 @@ import jax.numpy as jnp
 from raytracerfacility_tpu.ops.bvh import BVH
 from raytracerfacility_tpu.ops.intersect import TraceResult
 
-UNROLL = 16  # traversal steps fused per while_loop iteration
+# Traversal steps fused per while_loop iteration. 16 is the measured sweet
+# spot on TPU; CPU test runs override this down (compile time scales with
+# the unroll factor) via the env var — see tests/conftest.py.
+UNROLL = int(os.environ.get("RTF_TPU_TRAVERSE_UNROLL", "16"))
 _MAX_OUTER = 8192  # safety bound on while iterations (steps = 16x this)
 _DIR_EPS = 1e-20
 
@@ -215,3 +219,110 @@ def trace_any_bvh(
     init = (jnp.zeros(flat, jnp.int32), jnp.zeros(flat, bool), jnp.int32(0))
     _, occluded, _ = jax.lax.while_loop(cond, body, init)
     return occluded.reshape(batch)
+
+
+def trace_collect_same_instance(
+    bvh: BVH,
+    origin: jax.Array,
+    direction: jax.Array,
+    tmin: jax.Array,
+    tmax: jax.Array,
+    instance: jax.Array,  # (...,) int32 instance filter per lane
+    max_hits: int = 4,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """BSSRDF probe: collect up to ``max_hits`` hits on the SAME instance
+    along (tmin, tmax), in traversal order.
+
+    Mirrors the SpacialSampling ray type's anyhit program
+    (ref BSSDF.cuh:18-37: ignore other instances, record position+normal,
+    terminate after 4 records). Returns
+    ``(count (...,), t (...,K), prim (...,K), u (...,K), v (...,K))``.
+    """
+    leaf_size = bvh.leaf_size
+    batch = jnp.broadcast_shapes(
+        origin.shape[:-1], jnp.shape(tmin), jnp.shape(tmax), instance.shape
+    )
+    flat = (math.prod(batch),) if batch else (1,)
+    origin = jnp.broadcast_to(origin, batch + (3,)).reshape(flat + (3,))
+    direction = jnp.broadcast_to(direction, batch + (3,)).reshape(flat + (3,))
+    tmin_f = jnp.broadcast_to(tmin, batch).reshape(flat)
+    tmax_f = jnp.broadcast_to(tmax, batch).reshape(flat)
+    inst_f = jnp.broadcast_to(instance, batch).reshape(flat)
+    inv_dir = _safe_inv(direction)
+
+    nodes = bvh.nodes
+    tris = bvh.tris
+    end = bvh.num_nodes
+    n_tris = tris.shape[0]
+
+    def step(node, count, rec_t, rec_prim, rec_u, rec_v):
+        active = (node < end) & (count < max_hits)
+        nidx = jnp.clip(node, 0, end - 1)
+        row = nodes[nidx]
+        t1 = (row[:, 0:3] - origin) * inv_dir
+        t2 = (row[:, 3:6] - origin) * inv_dir
+        near = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        box_hit = active & (jnp.maximum(near, tmin_f) <= jnp.minimum(far, tmax_f))
+
+        skip = _as_int(row[:, 6])
+        meta = _as_int(row[:, 7])
+        cnt = meta >> 27
+        start = meta & ((1 << 27) - 1)
+        leaf = cnt > 0
+        do_leaf = box_hit & leaf
+        for k in range(leaf_size):
+            slot = jnp.clip(start + k, 0, n_tris - 1)
+            trow = tris[slot]
+            tri_inst = _as_int(trow[:, 10])
+            ok, t, u, v, p = _tri_test(tris, slot, origin, direction)
+            ok = (
+                ok & do_leaf & (k < cnt) & (t > tmin_f) & (t < tmax_f)
+                & (tri_inst == inst_f) & (count < max_hits)
+            )
+            for r in range(max_hits):
+                write = ok & (count == r)
+                rec_t = rec_t.at[:, r].set(jnp.where(write, t, rec_t[:, r]))
+                rec_prim = rec_prim.at[:, r].set(
+                    jnp.where(write, p, rec_prim[:, r])
+                )
+                rec_u = rec_u.at[:, r].set(jnp.where(write, u, rec_u[:, r]))
+                rec_v = rec_v.at[:, r].set(jnp.where(write, v, rec_v[:, r]))
+            count = jnp.where(ok, count + 1, count)
+
+        node = jnp.where(box_hit & ~leaf, nidx + 1, skip)
+        node = jnp.where(active, node, end)
+        return node, count, rec_t, rec_prim, rec_u, rec_v
+
+    def body(carry):
+        node, count, rec_t, rec_prim, rec_u, rec_v, it = carry
+        for _ in range(UNROLL):
+            node, count, rec_t, rec_prim, rec_u, rec_v = step(
+                node, count, rec_t, rec_prim, rec_u, rec_v
+            )
+        return node, count, rec_t, rec_prim, rec_u, rec_v, it + 1
+
+    def cond(carry):
+        node, count, *_, it = carry
+        return (it < _MAX_OUTER) & jnp.any((node < end) & (count < max_hits))
+
+    init = (
+        jnp.zeros(flat, jnp.int32),
+        jnp.zeros(flat, jnp.int32),
+        jnp.zeros(flat + (max_hits,), jnp.float32),
+        jnp.full(flat + (max_hits,), -1, jnp.int32),
+        jnp.zeros(flat + (max_hits,), jnp.float32),
+        jnp.zeros(flat + (max_hits,), jnp.float32),
+        jnp.int32(0),
+    )
+    _, count, rec_t, rec_prim, rec_u, rec_v, _ = jax.lax.while_loop(
+        cond, body, init
+    )
+    k = (max_hits,)
+    return (
+        count.reshape(batch),
+        rec_t.reshape(batch + k),
+        rec_prim.reshape(batch + k),
+        rec_u.reshape(batch + k),
+        rec_v.reshape(batch + k),
+    )

@@ -387,7 +387,10 @@ def build_compiled_scene(
     if build_bvh:
         from raytracerfacility_tpu.ops.bvh import build_bvh as _build
 
-        bvh = _build(geometry.v0, geometry.e1, geometry.e2, leaf_size=leaf_size)
+        bvh = _build(
+            geometry.v0, geometry.e1, geometry.e2,
+            leaf_size=leaf_size, instance=geometry.instance,
+        )
 
     return CompiledScene(
         geometry=geometry,

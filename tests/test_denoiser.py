@@ -1,0 +1,85 @@
+"""CNN denoiser: forward shape/blend semantics + training convergence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from raytracerfacility_tpu.models.denoiser import (
+    Denoiser,
+    DenoiserUNet,
+    make_sharded_train_step,
+    make_train_step,
+)
+
+
+def synthetic_batch(n=4, size=32, seed=0):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    clean = jax.random.uniform(k1, (n, size, size, 3))
+    noise = 0.3 * jax.random.normal(k2, clean.shape)
+    albedo = clean  # albedo correlates with clean signal
+    normal = jax.random.uniform(k3, clean.shape)
+    return clean + noise, albedo, normal, clean
+
+
+def test_forward_and_blend():
+    d = Denoiser(base_features=8)
+    d.init()
+    color = jnp.linspace(0, 1, 33 * 37 * 3).reshape(33, 37, 3)
+    albedo = jnp.ones((33, 37, 3)) * 0.5
+    normal = jnp.zeros((33, 37, 3))
+    out = d.denoise(color, albedo, normal, blend_factor=0.0)
+    assert out.shape == (33, 37, 3)  # odd sizes padded internally
+    assert np.isfinite(np.asarray(out)).all()
+    # blend 1.0 returns the input untouched (ref blendFactor semantics)
+    out_full_blend = d.denoise(color, albedo, normal, blend_factor=1.0)
+    np.testing.assert_allclose(np.asarray(out_full_blend), np.asarray(color),
+                               atol=1e-6)
+
+
+def test_blend_factor_schedule():
+    # ref RayTracer.cu:515-521
+    assert Denoiser.blend_factor(1.0, 5, True) == 0.0
+    assert Denoiser.blend_factor(0.75, 4, True) == 0.25 / 4
+    assert Denoiser.blend_factor(0.75, 0, True) == 0.25
+    assert Denoiser.blend_factor(0.75, 10, False) == 0.25
+
+
+def test_training_reduces_loss():
+    model = DenoiserUNet(base_features=8)
+    batch = synthetic_batch()
+    params = model.init(jax.random.PRNGKey(0), *batch[:3])
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(model, opt)
+    losses = []
+    for _ in range(100):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    # the albedo guide equals the clean target here, so the net can learn a
+    # passthrough: loss must drop substantially
+    assert losses[-1] < losses[0] * 0.55, losses[::20]
+
+
+def test_sharded_training_step():
+    from raytracerfacility_tpu.parallel import make_mesh
+
+    model = DenoiserUNet(base_features=8)
+    batch = synthetic_batch(n=8)
+    params = model.init(jax.random.PRNGKey(0), *batch[:3])
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    mesh = make_mesh(8, tile=8, spp=1)
+    step = make_sharded_train_step(model, opt, mesh, axis="tile")
+    params2, opt_state2, loss = step(params, opt_state, batch)
+    assert np.isfinite(float(loss))
+
+    # pmean-gradient parity with the single-device step on the same batch
+    single = make_train_step(model, opt)
+    params1, _, loss1 = single(params, opt_state, batch)
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), params1, params2
+    )
+    max_diff = max(jax.tree.leaves(diff))
+    assert max_diff < 1e-5, max_diff
