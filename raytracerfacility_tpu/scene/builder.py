@@ -57,6 +57,13 @@ def skin_vertices(
     ``bone_ids`` entries < 0 are unused slots (their weight must be 0, the
     reference guards with id checks; we clamp and rely on zero weights).
     """
+    from raytracerfacility_tpu import native
+
+    out = native.skin_vertices(
+        positions, normals, tangents, bone_ids, bone_weights, bone_matrices
+    )
+    if out is not None:
+        return out
     ids = np.maximum(bone_ids, 0)
     w = bone_weights[..., None, None]  # (N, 8, 1, 1)
     mats = bone_matrices[ids]  # (N, 8, 4, 4)
@@ -211,6 +218,24 @@ def _geometry_world_mesh(geom, transform: np.ndarray):
         uvs_v = np.tile(uvs_v, (mats.shape[0], 1))
         data_v = np.tile(data_v, (mats.shape[0], 1))
     else:
+        # fused native bake (transform + corner gather in one C++ pass,
+        # raytracerfacility_tpu/native); numpy fallback below
+        from raytracerfacility_tpu import native
+
+        packed = native.pack_corners(
+            {
+                "positions": positions,
+                "normals": normals_v,
+                "tangents": tangents_v,
+                "colors": colors_v,
+                "tex_coords": uvs_v,
+                "data": data_v,
+            },
+            mesh.triangles,
+            np.asarray(transform, np.float32),
+        )
+        if packed is not None:
+            return packed
         tris = mesh.triangles
         positions = _transform_points(transform, positions)
         normals_v = _transform_dirs(transform, normals_v)

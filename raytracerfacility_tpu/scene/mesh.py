@@ -66,7 +66,13 @@ class Mesh:
 
 
 def compute_vertex_normals(positions: np.ndarray, triangles: np.ndarray) -> np.ndarray:
-    """Area-weighted vertex normals (for procedural meshes)."""
+    """Area-weighted vertex normals (for procedural meshes). Native C++ when
+    available, numpy scatter fallback."""
+    from raytracerfacility_tpu import native
+
+    out = native.compute_vertex_normals(positions, triangles)
+    if out is not None:
+        return out
     v0 = positions[triangles[:, 0]]
     v1 = positions[triangles[:, 1]]
     v2 = positions[triangles[:, 2]]
