@@ -51,7 +51,9 @@ def scan_point_cloud(
     res = trace_closest(
         scene, start, direction, jnp.float32(1e-3), jnp.float32(1e20)
     )
-    hit = interpolate_hit(scene, res.prim, res.u, res.v, direction)
+    hit = interpolate_hit(
+        scene, res.prim, res.u, res.v, direction, origin=start, t_hit=res.t
+    )
     handle = scene.instance_handle[hit.instance]
     zero3 = jnp.zeros_like(start)
     m = res.hit[..., None]

@@ -100,7 +100,10 @@ def trace_closest(scene: CompiledScene, origin, direction, tmin, tmax) -> TraceR
 
         return trace_closest_bvh(scene.bvh, scene.geometry, origin, direction, tmin, tmax)
     g = scene.geometry
-    return trace_closest_bruteforce(g.v0, g.e1, g.e2, origin, direction, tmin, tmax)
+    return trace_closest_bruteforce(
+        g.v0, g.e1, g.e2, origin, direction, tmin, tmax,
+        kind=g.kind if g.has_curves else None,
+    )
 
 
 def trace_any(scene: CompiledScene, origin, direction, tmin, tmax) -> jax.Array:
@@ -176,7 +179,10 @@ def _segment(
 
     # ---- hit: interpolate + evaluate material
     hit_mask = s.active & res.hit
-    hit = interpolate_hit(scene, res.prim, res.u, res.v, s.direction)
+    hit = interpolate_hit(
+        scene, res.prim, res.u, res.v, s.direction,
+        origin=s.origin, t_hit=res.t,
+    )
     surf = eval_material(scene, hit)
 
     # ---- stochastic alpha cutout (ref AnyHitFunc, RayFunctions.cuh:5-23):
@@ -333,7 +339,7 @@ def _segment(
             sample_pos = disk_center + disk_radius[..., None] * rim
 
             # probe: collect <=4 same-instance hits (ref BSSDF.cuh:63-76)
-            count, _, rec_prim, rec_u, rec_v = trace_collect_same_instance(
+            count, rec_t, rec_prim, rec_u, rec_v = trace_collect_same_instance(
                 scene.bvh,
                 sample_pos,
                 -disk_normal,
@@ -351,6 +357,7 @@ def _segment(
             rec_hit = interpolate_hit(
                 scene, take(rec_prim), take(rec_u), take(rec_v),
                 -disk_normal, check_normal=False,
+                origin=sample_pos, t_hit=take(rec_t),
             )
             rec_surf = eval_material(scene, rec_hit)  # normal mapping only
             out_normal = rec_surf.shading_normal

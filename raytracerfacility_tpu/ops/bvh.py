@@ -55,6 +55,7 @@ class BVH:
     tris: jax.Array  # (N, 12) f32 (+bitcast prim id column)
     tri_prim: jax.Array  # (N,) int32 original primitive index
     leaf_size: int = struct.field(pytree_node=False, default=4)
+    has_curves: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_nodes(self) -> int:
@@ -103,12 +104,16 @@ def pack_tris(
     e2: jax.Array,
     prim: jax.Array,
     instance: jax.Array | None = None,
+    kind: jax.Array | None = None,
 ) -> jax.Array:
     """col 10 carries the instance slot (for the BSSRDF same-instance probe,
-    ref BSSDF.cuh:18-24); col 11 pads the row to 12."""
+    ref BSSDF.cuh:18-24); col 11 carries the primitive kind (0 = triangle,
+    1 = sphere-swept curve segment, ops/curve.py encoding)."""
     n = v0.shape[0]
     if instance is None:
         instance = jnp.zeros(n, jnp.int32)
+    if kind is None:
+        kind = jnp.zeros(n, jnp.int32)
     return jnp.concatenate(
         [
             v0,
@@ -118,7 +123,9 @@ def pack_tris(
             jax.lax.bitcast_convert_type(instance.astype(jnp.int32), jnp.float32)[
                 :, None
             ],
-            jnp.zeros((n, 1), jnp.float32),
+            jax.lax.bitcast_convert_type(kind.astype(jnp.int32), jnp.float32)[
+                :, None
+            ],
         ],
         axis=1,
     )
@@ -172,36 +179,52 @@ def _delta(codes: jax.Array, i: jax.Array, j: jax.Array, n: int) -> jax.Array:
     return jnp.where(valid, prefix, -1)
 
 
+def _prim_aabbs(v0, e1, e2, kind):
+    """Per-primitive AABBs: triangle hull or sphere-swept-segment hull."""
+    p1 = v0 + e1
+    p2 = v0 + e2
+    tri_min = jnp.minimum(jnp.minimum(v0, p1), p2)
+    tri_max = jnp.maximum(jnp.maximum(v0, p1), p2)
+    if kind is None:
+        return tri_min, tri_max
+    r0 = e2[:, 0:1]
+    r1 = e2[:, 0:1] + e2[:, 1:2]
+    cur_min = jnp.minimum(v0 - r0, p1 - r1)
+    cur_max = jnp.maximum(v0 + r0, p1 + r1)
+    is_curve = (kind == 1)[:, None]
+    return (
+        jnp.where(is_curve, cur_min, tri_min),
+        jnp.where(is_curve, cur_max, tri_max),
+    )
+
+
 def build_bvh(
     v0: jax.Array,
     e1: jax.Array,
     e2: jax.Array,
     leaf_size: int = 4,
     instance: jax.Array | None = None,
+    kind: jax.Array | None = None,
 ) -> BVH:
-    """Build the threaded LBVH for a triangle soup (jit-friendly)."""
+    """Build the threaded LBVH for a primitive soup (jit-friendly)."""
     n = v0.shape[0]
+    has_curves = kind is not None and bool(jnp.any(kind == 1))
     if n == 1:
         # degenerate single-leaf tree
-        p1 = v0 + e1
-        p2 = v0 + e2
-        bmin = jnp.minimum(jnp.minimum(v0, p1), p2)
-        bmax = jnp.maximum(jnp.maximum(v0, p1), p2)
+        bmin, bmax = _prim_aabbs(v0, e1, e2, kind)
         prim = jnp.array([0], jnp.int32)
         return BVH(
             nodes=pack_nodes(
                 bmin, bmax, jnp.array([1], jnp.int32),
                 jnp.array([0], jnp.int32), jnp.array([1], jnp.int32),
             ),
-            tris=pack_tris(v0, e1, e2, prim, instance),
+            tris=pack_tris(v0, e1, e2, prim, instance, kind),
             tri_prim=prim,
             leaf_size=leaf_size,
+            has_curves=has_curves,
         )
 
-    p1 = v0 + e1
-    p2 = v0 + e2
-    tri_min = jnp.minimum(jnp.minimum(v0, p1), p2)  # (N, 3)
-    tri_max = jnp.maximum(jnp.maximum(v0, p1), p2)
+    tri_min, tri_max = _prim_aabbs(v0, e1, e2, kind)  # (N, 3)
     centroid = (tri_min + tri_max) * 0.5
     scene_lo = jnp.min(tri_min, axis=0)
     scene_hi = jnp.max(tri_max, axis=0)
@@ -309,7 +332,9 @@ def build_bvh(
         tris=pack_tris(
             v0[order], e1[order], e2[order], order,
             None if instance is None else instance[order],
+            None if kind is None else kind[order],
         ),
         tri_prim=order,
         leaf_size=leaf_size,
+        has_curves=has_curves,
     )

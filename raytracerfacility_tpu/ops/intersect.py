@@ -83,10 +83,12 @@ def trace_closest_bruteforce(
     tmin: jax.Array,
     tmax: jax.Array,
     chunk: int = 512,
+    kind: jax.Array | None = None,
 ) -> TraceResult:
-    """Closest hit against every triangle, scanning triangle chunks.
+    """Closest hit against every primitive, scanning chunks.
 
-    ``tmin``/``tmax`` broadcast against the ray batch shape.
+    ``tmin``/``tmax`` broadcast against the ray batch shape. ``kind`` marks
+    sphere-swept curve rows (ops/curve.py encoding); None = all triangles.
     """
     num_tris = v0.shape[0]
     chunk = min(chunk, max(num_tris, 1))
@@ -97,6 +99,8 @@ def trace_closest_bruteforce(
         v0 = jnp.concatenate([v0, zeros], axis=0)
         e1 = jnp.concatenate([e1, zeros], axis=0)
         e2 = jnp.concatenate([e2, zeros], axis=0)
+        if kind is not None:
+            kind = jnp.concatenate([kind, jnp.zeros(pad, kind.dtype)])
 
     batch_shape = jnp.broadcast_shapes(
         origin.shape[:-1], jnp.shape(tmin), jnp.shape(tmax)
@@ -119,6 +123,20 @@ def trace_closest_bruteforce(
         valid, t, u, v = moller_trumbore(
             origin, direction, c_v0, c_e1, c_e2, tmin, best.t
         )
+        if kind is not None:
+            from raytracerfacility_tpu.ops.curve import intersect_round_cone
+
+            c_kind = jax.lax.dynamic_slice_in_dim(kind, start, chunk)
+            c_ok, c_t, c_u = intersect_round_cone(
+                origin[..., None, :], direction[..., None, :],
+                c_v0, c_e1, c_e2[:, 0], c_e2[:, 1],
+                tmin[..., None], best.t[..., None],
+            )
+            is_curve = c_kind == 1
+            valid = jnp.where(is_curve, c_ok, valid)
+            t = jnp.where(is_curve, c_t, t)
+            u = jnp.where(is_curve, c_u, u)
+            v = jnp.where(is_curve, 0.0, v)
         t = jnp.where(valid, t, jnp.inf)
         local = jnp.argmin(t, axis=-1)
         t_best = jnp.take_along_axis(t, local[..., None], axis=-1)[..., 0]

@@ -57,6 +57,8 @@ def interpolate_hit(
     v: jax.Array,
     ray_direction: jax.Array,
     check_normal: bool = True,
+    origin: jax.Array | None = None,
+    t_hit: jax.Array | None = None,
 ) -> HitInfo:
     geom = scene.geometry
     prim = jnp.clip(prim, 0, geom.num_triangles - 1)
@@ -85,6 +87,37 @@ def interpolate_hit(
     data = jnp.take_along_axis(
         geom.data[prim], corner[..., None, None], axis=-2
     )[..., 0, :]
+
+    if geom.has_curves and origin is not None and t_hit is not None:
+        # curve prims: analytic offset-surface normal + attributes lerped
+        # along the segment (ref Curves::GetHitInfo,
+        # RayDataDefinations.hpp:32-72)
+        from raytracerfacility_tpu.ops.curve import linear_curve_normal
+
+        is_curve = (geom.kind[prim] == 1)[..., None]
+        x = origin + ray_direction * t_hit[..., None]
+        p0 = base
+        axis = geom.e1[prim]
+        r0 = geom.e2[prim][..., 0]
+        dr = geom.e2[prim][..., 1]
+        c_normal, c_pos = linear_curve_normal(x, p0, axis, r0, dr, u)
+        # tangent = cross(normal, normal.yzx) (ref :69-70)
+        swiz = jnp.stack(
+            [c_normal[..., 1], c_normal[..., 2], c_normal[..., 0]], axis=-1
+        )
+        c_tangent = cross(c_normal, swiz)
+        c0 = geom.color[prim][..., 0, :]
+        c1 = geom.color[prim][..., 1, :]
+        c_color = (1.0 - uu) * c0 + uu * c1
+        t0 = tc[..., 0, :]
+        t1 = tc[..., 1, :]
+        c_tex = (1.0 - uu) * t0 + uu * t1
+        position = jnp.where(is_curve, c_pos, position)
+        normal = jnp.where(is_curve, c_normal, normal)
+        tangent = jnp.where(is_curve, c_tangent, tangent)
+        color = jnp.where(is_curve, c_color, color)
+        tex_coord = jnp.where(is_curve, c_tex, tex_coord)
+        data = jnp.where(is_curve, 0.0, data)
 
     normal = safe_normalize(normal)
     if check_normal:

@@ -53,9 +53,10 @@ def _as_int(x: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-def _tri_test(tris, slot, origin, direction):
-    """Moller-Trumbore against packed triangle rows; returns
-    (ok, t, u, v, prim)."""
+def _tri_test(tris, slot, origin, direction, tmin=None, has_curves=False):
+    """Primitive test against packed rows: Moller-Trumbore for triangles,
+    sphere-swept-segment intersection for curve rows (col 11 kind).
+    Returns (ok, t, u, v, prim)."""
     row = tris[slot]  # (R, 12)
     v0 = row[:, 0:3]
     e1 = row[:, 3:6]
@@ -70,6 +71,19 @@ def _tri_test(tris, slot, origin, direction):
     v = jnp.sum(direction * qvec, axis=-1) * inv_det
     t = jnp.sum(e2 * qvec, axis=-1) * inv_det
     ok = (jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    if has_curves:
+        from raytracerfacility_tpu.ops.curve import intersect_round_cone
+
+        is_curve = _as_int(row[:, 11]) == 1
+        tmin_c = jnp.float32(0.0) if tmin is None else tmin
+        c_ok, c_t, c_u = intersect_round_cone(
+            origin, direction, v0, e1, e2[:, 0], e2[:, 1],
+            tmin_c, jnp.float32(3.4e38),
+        )
+        ok = jnp.where(is_curve, c_ok, ok)
+        t = jnp.where(is_curve, c_t, t)
+        u = jnp.where(is_curve, c_u, u)
+        v = jnp.where(is_curve, 0.0, v)
     return ok, t, u, v, prim
 
 
@@ -114,7 +128,9 @@ def trace_closest_bvh(
         do_leaf = box_hit & leaf
         for k in range(leaf_size):
             slot = jnp.clip(start + k, 0, n_tris - 1)
-            ok, t, u, v, p = _tri_test(tris, slot, origin, direction)
+            ok, t, u, v, p = _tri_test(
+                tris, slot, origin, direction, tmin_f, bvh.has_curves
+            )
             ok = ok & do_leaf & (k < count) & (t > tmin_f) & (t < best_t)
             best_t = jnp.where(ok, t, best_t)
             prim = jnp.where(ok, p, prim)
@@ -198,7 +214,9 @@ def trace_any_bvh(
         found = jnp.zeros_like(occluded)
         for k in range(leaf_size):
             slot = jnp.clip(start + k, 0, n_tris - 1)
-            ok, t, _, _, _ = _tri_test(tris, slot, origin, direction)
+            ok, t, _, _, _ = _tri_test(
+                tris, slot, origin, direction, tmin_f, bvh.has_curves
+            )
             found = found | (ok & do_leaf & (k < count) & (t > tmin_f) & (t < tmax_f))
         occluded = occluded | found
 
@@ -275,7 +293,9 @@ def trace_collect_same_instance(
             slot = jnp.clip(start + k, 0, n_tris - 1)
             trow = tris[slot]
             tri_inst = _as_int(trow[:, 10])
-            ok, t, u, v, p = _tri_test(tris, slot, origin, direction)
+            ok, t, u, v, p = _tri_test(
+                tris, slot, origin, direction, tmin_f, bvh.has_curves
+            )
             ok = (
                 ok & do_leaf & (k < cnt) & (t > tmin_f) & (t < tmax_f)
                 & (tri_inst == inst_f) & (count < max_hits)

@@ -164,9 +164,46 @@ def tessellate_strands(
     )
 
 
+def _bake_analytic_curves(geom, transform: np.ndarray, mode: str):
+    """Bake strands into sphere-swept linear prim rows (kind=1; encoding in
+    ops/curve.py). Radii scale by the transform's uniform-scale factor."""
+    from raytracerfacility_tpu.ops.curve import subdivide_strand_segments
+
+    sub = subdivide_strand_segments(geom.strand_points, geom.curve_segments, mode)
+    if sub is None:
+        return None
+    p0 = _transform_points(transform, sub["p0"])
+    p1 = _transform_points(transform, sub["p1"])
+    scale = float(np.linalg.norm(transform[:3, 0]))
+    r0 = sub["r0"] * scale
+    r1 = sub["r1"] * scale
+    n = p0.shape[0]
+    zeros3 = np.zeros((n, 3, 3), np.float32)
+    tex = np.zeros((n, 3, 2), np.float32)
+    tex[:, 0, 0] = sub["u0"]
+    tex[:, 1, 0] = sub["u1"]
+    color = np.zeros((n, 3, 4), np.float32)
+    color[:, 0] = sub["color0"]
+    color[:, 1] = sub["color1"]
+    e2 = np.zeros((n, 3), np.float32)
+    e2[:, 0] = r0
+    e2[:, 1] = r1 - r0
+    return {
+        "v0": p0.astype(np.float32),
+        "e1": (p1 - p0).astype(np.float32),
+        "e2": e2,
+        "normal": zeros3,
+        "tangent": zeros3,
+        "tex_coord": tex,
+        "color": color,
+        "data": np.zeros((n, 3, 4), np.float32),
+        "kind": np.ones(n, np.int32),
+    }
+
+
 def _geometry_world_mesh(geom, transform: np.ndarray):
     """Bake one geometry under one instance transform into world-space
-    per-corner triangle arrays. Returns dict of numpy arrays."""
+    per-corner primitive arrays. Returns dict of numpy arrays."""
     if geom.renderer_type == RendererType.CURVE:
         from raytracerfacility_tpu.enums import GeometryType
 
@@ -175,6 +212,8 @@ def _geometry_world_mesh(geom, transform: np.ndarray):
             GeometryType.QUADRATIC_BSPLINE: "quadratic",
             GeometryType.CUBIC_BSPLINE: "cubic",
         }.get(geom.geometry_type, "linear")
+        if getattr(geom, "curve_mode", "analytic") == "analytic":
+            return _bake_analytic_curves(geom, transform, mode)
         mesh = tessellate_strands(geom.strand_points, geom.curve_segments, mode=mode)
     else:
         mesh = geom.mesh
@@ -235,6 +274,7 @@ def _geometry_world_mesh(geom, transform: np.ndarray):
             np.asarray(transform, np.float32),
         )
         if packed is not None:
+            packed["kind"] = np.zeros(mesh.num_triangles, np.int32)
             return packed
         tris = mesh.triangles
         positions = _transform_points(transform, positions)
@@ -252,6 +292,7 @@ def _geometry_world_mesh(geom, transform: np.ndarray):
         "tex_coord": np.stack([uvs_v[c0], uvs_v[c1], uvs_v[c2]], axis=1),
         "color": np.stack([colors_v[c0], colors_v[c1], colors_v[c2]], axis=1),
         "data": np.stack([data_v[c0], data_v[c1], data_v[c2]], axis=1),
+        "kind": np.zeros(tris.shape[0], np.int32),
     }
 
 
@@ -328,6 +369,7 @@ def build_compiled_scene(
                 "color": np.ones((1, 3, 4), np.float32),
                 "data": np.zeros((1, 3, 4), np.float32),
                 "instance": np.zeros(1, np.int32),
+                "kind": np.zeros(1, np.int32),
             }
         )
         inst_material.append(0)
@@ -362,7 +404,11 @@ def build_compiled_scene(
             fill = np.zeros((pad,) + arr.shape[1:], arr.dtype)
             merged[k] = np.concatenate([arr, fill], axis=0)
 
-    geometry = GeometryBuffers(**{k: jnp.asarray(v) for k, v in merged.items()})
+    has_curves = bool((merged["kind"] != 0).any())
+    geometry = GeometryBuffers(
+        **{k: jnp.asarray(v) for k, v in merged.items()},
+        has_curves=has_curves,
+    )
 
     texels, tex_sizes = build_texture_stack(textures)
 
@@ -415,6 +461,7 @@ def build_compiled_scene(
         bvh = _build(
             geometry.v0, geometry.e1, geometry.e2,
             leaf_size=leaf_size, instance=geometry.instance,
+            kind=geometry.kind,
         )
 
     return CompiledScene(

@@ -22,17 +22,25 @@ from flax import struct
 
 @struct.dataclass
 class GeometryBuffers:
-    """World-space triangle soup. T = padded triangle count."""
+    """World-space primitive soup. T = padded primitive count.
 
-    v0: jax.Array  # (T, 3) first vertex
-    e1: jax.Array  # (T, 3) v1 - v0
-    e2: jax.Array  # (T, 3) v2 - v0
+    ``kind`` 0 = triangle (v0/e1/e2 = vertex + edge basis), 1 = linear
+    sphere-swept curve segment (v0 = p0, e1 = p1 - p0, e2 = (r0, r1-r0, 0);
+    see ops/curve.py). ``has_curves`` is a static flag so triangle-only
+    scenes compile without the dual-primitive dispatch.
+    """
+
+    v0: jax.Array  # (T, 3)
+    e1: jax.Array  # (T, 3)
+    e2: jax.Array  # (T, 3)
     normal: jax.Array  # (T, 3, 3) per-corner world normals (unnormalized)
     tangent: jax.Array  # (T, 3, 3)
     tex_coord: jax.Array  # (T, 3, 2)
     color: jax.Array  # (T, 3, 4) per-corner vertex colors
     data: jax.Array  # (T, 3, 4) aux channel (ref vertex padding fields)
     instance: jax.Array  # (T,) int32 instance slot
+    kind: jax.Array  # (T,) int32 primitive kind
+    has_curves: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_triangles(self) -> int:

@@ -47,6 +47,7 @@ class RayTracedGeometry:
     strand_points: np.ndarray | None = None  # (S, >=8): pos3, thickness, color4
     strand_tex_coords: np.ndarray | None = None  # (S,)
     curve_segments: np.ndarray | None = None  # (C,) int32 start point index
+    curve_mode: str = "analytic"  # "analytic" (sphere-swept) | "tessellate"
 
     version: int = -1
     handle: int = 0
