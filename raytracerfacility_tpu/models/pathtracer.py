@@ -448,17 +448,16 @@ def trace_radiance_counted(
     tmin,
 ) -> tuple[PathState, jax.Array]:
     """Like :func:`trace_radiance` but also returns the number of live rays
-    actually traced across all segments (the honest Mrays/s numerator)."""
+    actually traced across all segments (the honest Mrays/s numerator).
+
+    The segment loop is UNROLLED (max_segments <= 11): on the TPU runtime,
+    loop bodies do not fuse (every op pays per-kernel overhead), so
+    straight-line code is the fast path — see ops/traverse.py."""
     state = init_path_state(origin, direction, rng, tmin)
-
-    def body(carry, _):
-        state, rays = carry
+    rays = jnp.float32(0.0)
+    for _ in range(config.max_segments):
         rays = rays + jnp.sum(state.active.astype(jnp.float32))
-        return (_segment(scene, env, config, state), rays), None
-
-    (state, rays), _ = jax.lax.scan(
-        body, (state, jnp.float32(0.0)), None, length=config.max_segments
-    )
+        state = _segment(scene, env, config, state)
     return state, rays
 
 
@@ -543,12 +542,13 @@ def render_samples(
         ), None
 
     zeros = jnp.zeros((height, width, 3), jnp.float32)
-    carry, _ = jax.lax.scan(
-        sample_body,
-        (rng, zeros, zeros, zeros, zeros, jnp.float32(0.0)),
-        None,
-        length=sample_count,
-    )
+    carry = (rng, zeros, zeros, zeros, zeros, jnp.float32(0.0))
+    if sample_count <= 8:
+        # unrolled: loop bodies do not fuse on the TPU runtime
+        for _ in range(sample_count):
+            carry, _ = sample_body(carry, None)
+    else:
+        carry, _ = jax.lax.scan(sample_body, carry, None, length=sample_count)
     _, pixel_color, pixel_normal, pixel_albedo, pixel_position, rays = carry
     return pixel_color, pixel_normal, pixel_albedo, pixel_position, rays
 

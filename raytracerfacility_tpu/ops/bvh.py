@@ -34,6 +34,22 @@ from flax import struct
 
 MAX_DEPTH_PASSES = 64  # >= max radix-tree depth with 62-bit tie-broken keys
 
+# Integers smuggled through float32 rows are biased with bit 30 so their bit
+# patterns are *normal* floats: TPU hardware flushes denormals to zero, which
+# silently zeroed raw small-int patterns (skip links!). Bias keeps the
+# exponent field non-zero; decode masks bits 30-31 off.
+INT_BIAS = 0x40000000
+
+
+def encode_int_column(i: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(
+        (i.astype(jnp.int32) | INT_BIAS), jnp.float32
+    )
+
+
+def decode_int_column(f: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(f, jnp.int32) & (INT_BIAS - 1)
+
 
 @struct.dataclass
 class BVH:
@@ -72,11 +88,11 @@ class BVH:
 
     @property
     def skip(self) -> jax.Array:
-        return jax.lax.bitcast_convert_type(self.nodes[:, 6], jnp.int32)
+        return decode_int_column(self.nodes[:, 6])
 
     @property
     def leaf_meta(self) -> jax.Array:
-        return jax.lax.bitcast_convert_type(self.nodes[:, 7], jnp.int32)
+        return decode_int_column(self.nodes[:, 7])
 
 
 def pack_nodes(
@@ -91,8 +107,8 @@ def pack_nodes(
         [
             aabb_min,
             aabb_max,
-            jax.lax.bitcast_convert_type(skip.astype(jnp.int32), jnp.float32)[:, None],
-            jax.lax.bitcast_convert_type(meta.astype(jnp.int32), jnp.float32)[:, None],
+            encode_int_column(skip)[:, None],
+            encode_int_column(meta)[:, None],
         ],
         axis=1,
     )
@@ -119,13 +135,9 @@ def pack_tris(
             v0,
             e1,
             e2,
-            jax.lax.bitcast_convert_type(prim.astype(jnp.int32), jnp.float32)[:, None],
-            jax.lax.bitcast_convert_type(instance.astype(jnp.int32), jnp.float32)[
-                :, None
-            ],
-            jax.lax.bitcast_convert_type(kind.astype(jnp.int32), jnp.float32)[
-                :, None
-            ],
+            encode_int_column(prim)[:, None],
+            encode_int_column(instance)[:, None],
+            encode_int_column(kind)[:, None],
         ],
         axis=1,
     )
@@ -205,10 +217,15 @@ def build_bvh(
     leaf_size: int = 4,
     instance: jax.Array | None = None,
     kind: jax.Array | None = None,
+    has_curves: bool | None = None,
 ) -> BVH:
-    """Build the threaded LBVH for a primitive soup (jit-friendly)."""
+    """Build the threaded LBVH for a primitive soup.
+
+    Fully jittable when ``has_curves`` is passed explicitly (it is a static
+    layout flag; deriving it from ``kind`` requires a concrete value)."""
     n = v0.shape[0]
-    has_curves = kind is not None and bool(jnp.any(kind == 1))
+    if has_curves is None:
+        has_curves = kind is not None and bool(jnp.any(kind == 1))
     if n == 1:
         # degenerate single-leaf tree
         bmin, bmax = _prim_aabbs(v0, e1, e2, kind)

@@ -29,14 +29,20 @@ import os
 import jax
 import jax.numpy as jnp
 
-from raytracerfacility_tpu.ops.bvh import BVH
+from raytracerfacility_tpu.ops.bvh import BVH, decode_int_column
 from raytracerfacility_tpu.ops.intersect import TraceResult
 
-# Traversal steps fused per while_loop iteration. 16 is the measured sweet
-# spot on TPU; CPU test runs override this down (compile time scales with
-# the unroll factor) via the env var — see tests/conftest.py.
+# Measured on v5e (through the axon runtime): ops inside while_loop/fori
+# bodies never fuse — every op pays ~1 ms of per-kernel overhead — while the
+# SAME step sequence fully unrolled in straight-line code fuses and runs
+# ~80x faster. So traversal runs a fully-unrolled PREFIX of
+# ``TRAVERSE_PREFIX`` steps (covers virtually all rays; ~165 visits max on
+# the bench scenes) and falls into a while_loop TAIL of ``UNROLL``-step
+# bodies only for straggler lanes (completeness, usually 0 iterations).
+# CPU test runs shrink both via env vars (compile time scales with unroll).
+TRAVERSE_PREFIX = int(os.environ.get("RTF_TPU_TRAVERSE_PREFIX", "160"))
 UNROLL = int(os.environ.get("RTF_TPU_TRAVERSE_UNROLL", "16"))
-_MAX_OUTER = 8192  # safety bound on while iterations (steps = 16x this)
+_MAX_OUTER = 8192  # safety bound on while-tail iterations
 _DIR_EPS = 1e-20
 
 
@@ -50,7 +56,8 @@ def _safe_inv(direction: jax.Array) -> jax.Array:
 
 
 def _as_int(x: jax.Array) -> jax.Array:
-    return jax.lax.bitcast_convert_type(x, jnp.int32)
+    """Decode a biased int column (see ops/bvh.py INT_BIAS)."""
+    return decode_int_column(x)
 
 
 def _tri_test(tris, slot, origin, direction, tmin=None, has_curves=False):
@@ -141,25 +148,30 @@ def trace_closest_bvh(
         node = jnp.where(active, node, end)
         return node, best_t, prim, uu, vv
 
-    def body(carry):
-        node, best_t, prim, uu, vv, it = carry
-        for _ in range(UNROLL):
-            node, best_t, prim, uu, vv = step(node, best_t, prim, uu, vv)
-        return node, best_t, prim, uu, vv, it + 1
-
-    def cond(carry):
-        node, *_, it = carry
-        return (it < _MAX_OUTER) & jnp.any(node < end)
-
-    init = (
+    # fully-unrolled prefix (fused straight-line code)
+    carry = (
         jnp.zeros(flat, jnp.int32),
         tmax_f,
         jnp.full(flat, -1, jnp.int32),
         jnp.zeros(flat, jnp.float32),
         jnp.zeros(flat, jnp.float32),
-        jnp.int32(0),
     )
-    node, best_t, prim, uu, vv, _ = jax.lax.while_loop(cond, body, init)
+    for _ in range(TRAVERSE_PREFIX):
+        carry = step(*carry)
+
+    # while tail for straggler lanes (correctness; rarely iterates)
+    def body(c):
+        *state, it = c
+        for _ in range(UNROLL):
+            state = step(*state)
+        return (*state, it + 1)
+
+    def cond(c):
+        return (c[-1] < _MAX_OUTER) & jnp.any(c[0] < end)
+
+    node, best_t, prim, uu, vv, _ = jax.lax.while_loop(
+        cond, body, (*carry, jnp.int32(0))
+    )
     return TraceResult(
         t=best_t.reshape(batch),
         prim=prim.reshape(batch),
@@ -224,18 +236,20 @@ def trace_any_bvh(
         node = jnp.where(active & ~occluded, node, end)
         return node, occluded
 
-    def body(carry):
-        node, occluded, it = carry
+    carry = (jnp.zeros(flat, jnp.int32), jnp.zeros(flat, bool))
+    for _ in range(TRAVERSE_PREFIX):
+        carry = step(*carry)
+
+    def body(c):
+        node, occluded, it = c
         for _ in range(UNROLL):
             node, occluded = step(node, occluded)
         return node, occluded, it + 1
 
-    def cond(carry):
-        node, occluded, it = carry
-        return (it < _MAX_OUTER) & jnp.any(node < end)
+    def cond(c):
+        return (c[-1] < _MAX_OUTER) & jnp.any(c[0] < end)
 
-    init = (jnp.zeros(flat, jnp.int32), jnp.zeros(flat, bool), jnp.int32(0))
-    _, occluded, _ = jax.lax.while_loop(cond, body, init)
+    _, occluded, _ = jax.lax.while_loop(cond, body, (*carry, jnp.int32(0)))
     return occluded.reshape(batch)
 
 
@@ -314,29 +328,28 @@ def trace_collect_same_instance(
         node = jnp.where(active, node, end)
         return node, count, rec_t, rec_prim, rec_u, rec_v
 
-    def body(carry):
-        node, count, rec_t, rec_prim, rec_u, rec_v, it = carry
-        for _ in range(UNROLL):
-            node, count, rec_t, rec_prim, rec_u, rec_v = step(
-                node, count, rec_t, rec_prim, rec_u, rec_v
-            )
-        return node, count, rec_t, rec_prim, rec_u, rec_v, it + 1
-
-    def cond(carry):
-        node, count, *_, it = carry
-        return (it < _MAX_OUTER) & jnp.any((node < end) & (count < max_hits))
-
-    init = (
+    carry = (
         jnp.zeros(flat, jnp.int32),
         jnp.zeros(flat, jnp.int32),
         jnp.zeros(flat + (max_hits,), jnp.float32),
         jnp.full(flat + (max_hits,), -1, jnp.int32),
         jnp.zeros(flat + (max_hits,), jnp.float32),
         jnp.zeros(flat + (max_hits,), jnp.float32),
-        jnp.int32(0),
     )
+    for _ in range(TRAVERSE_PREFIX):
+        carry = step(*carry)
+
+    def body(c):
+        *state, it = c
+        for _ in range(UNROLL):
+            state = step(*state)
+        return (*state, it + 1)
+
+    def cond(c):
+        return (c[-1] < _MAX_OUTER) & jnp.any((c[0] < end) & (c[1] < max_hits))
+
     _, count, rec_t, rec_prim, rec_u, rec_v, _ = jax.lax.while_loop(
-        cond, body, init
+        cond, body, (*carry, jnp.int32(0))
     )
     k = (max_hits,)
     return (

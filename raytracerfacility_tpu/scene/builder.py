@@ -456,12 +456,20 @@ def build_compiled_scene(
 
     bvh = None
     if build_bvh:
+        import jax
+
         from raytracerfacility_tpu.ops.bvh import build_bvh as _build
 
-        bvh = _build(
+        # jit the whole build: one compiled program per (shape, leaf_size)
+        # instead of an eager op storm (also how per-frame rebuilds of
+        # animated scenes stay cheap)
+        bvh = jax.jit(
+            _build,
+            static_argnames=("leaf_size", "has_curves"),
+        )(
             geometry.v0, geometry.e1, geometry.e2,
             leaf_size=leaf_size, instance=geometry.instance,
-            kind=geometry.kind,
+            kind=geometry.kind, has_curves=has_curves,
         )
 
     return CompiledScene(
