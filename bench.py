@@ -40,11 +40,31 @@ def main() -> None:
     env_state = env.state()
     frame = init_frame(width, height)
 
-    # warmup: compile + 1 steady frame
-    frame, rays = render_frame_counted_jit(compiled, cam_state, env_state, config, frame)
-    jax.block_until_ready(frame.color)
-    frame, rays = render_frame_counted_jit(compiled, cam_state, env_state, config, frame)
-    jax.block_until_ready(frame.color)
+    # Warmup + compile-quality check. The remote TPU compile service
+    # occasionally returns a pathologically unoptimized executable (same
+    # program, 1000x slower); detect it by timing one frame and re-roll the
+    # compile (clear_caches) until sane or out of attempts.
+    budget_ms = (width * height) / 1000.0  # ~1 us per pixel is "sane"
+    for attempt in range(4):
+        frame_try, rays = render_frame_counted_jit(
+            compiled, cam_state, env_state, config, frame
+        )
+        jax.block_until_ready(frame_try.color)
+        t0 = time.perf_counter()
+        frame_try, rays = render_frame_counted_jit(
+            compiled, cam_state, env_state, config, frame_try
+        )
+        jax.block_until_ready(frame_try.color)
+        frame_ms = (time.perf_counter() - t0) * 1e3
+        if frame_ms < budget_ms or attempt == 3:
+            frame = frame_try
+            break
+        print(
+            f"# slow executable ({frame_ms:.0f} ms/frame > {budget_ms:.0f}), "
+            f"re-rolling compile (attempt {attempt + 1})",
+            file=sys.stderr,
+        )
+        jax.clear_caches()
 
     total_rays = 0.0
     t0 = time.perf_counter()

@@ -59,9 +59,11 @@ from raytracerfacility_tpu.ops.shading import (
 )
 from raytracerfacility_tpu.scene.compiled import CompiledScene
 
-_TMAX = jnp.float32(1e20)
-_BOUNCE_TMIN = jnp.float32(1e-3)
-_ALPHA_SKIP_EPS = jnp.float32(1e-4)
+# plain Python floats: module-level jnp scalars are device constants that
+# poison jitted closures (see ops/rng.py note)
+_TMAX = 1e20
+_BOUNCE_TMIN = 1e-3
+_ALPHA_SKIP_EPS = 1e-4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -450,14 +452,18 @@ def trace_radiance_counted(
     """Like :func:`trace_radiance` but also returns the number of live rays
     actually traced across all segments (the honest Mrays/s numerator).
 
-    The segment loop is UNROLLED (max_segments <= 11): on the TPU runtime,
-    loop bodies do not fuse (every op pays per-kernel overhead), so
-    straight-line code is the fast path — see ops/traverse.py."""
+    The segment loop is a ``lax.scan`` (loop bodies fuse and run
+    back-to-back on device; see the perf notes in ops/traverse.py)."""
     state = init_path_state(origin, direction, rng, tmin)
-    rays = jnp.float32(0.0)
-    for _ in range(config.max_segments):
+
+    def body(carry, _):
+        state, rays = carry
         rays = rays + jnp.sum(state.active.astype(jnp.float32))
-        state = _segment(scene, env, config, state)
+        return (_segment(scene, env, config, state), rays), None
+
+    (state, rays), _ = jax.lax.scan(
+        body, (state, jnp.float32(0.0)), None, length=config.max_segments
+    )
     return state, rays
 
 
@@ -543,12 +549,7 @@ def render_samples(
 
     zeros = jnp.zeros((height, width, 3), jnp.float32)
     carry = (rng, zeros, zeros, zeros, zeros, jnp.float32(0.0))
-    if sample_count <= 8:
-        # unrolled: loop bodies do not fuse on the TPU runtime
-        for _ in range(sample_count):
-            carry, _ = sample_body(carry, None)
-    else:
-        carry, _ = jax.lax.scan(sample_body, carry, None, length=sample_count)
+    carry, _ = jax.lax.scan(sample_body, carry, None, length=sample_count)
     _, pixel_color, pixel_normal, pixel_albedo, pixel_position, rays = carry
     return pixel_color, pixel_normal, pixel_albedo, pixel_position, rays
 

@@ -25,8 +25,12 @@ from raytracerfacility_tpu.enums import EnvironmentalLightingType
 from raytracerfacility_tpu.ops.math3d import dot
 from raytracerfacility_tpu.ops.texture import sample_cubemap
 
-_BETA_R = jnp.array([3.8e-6, 13.5e-6, 33.1e-6], jnp.float32)
-_BETA_M = jnp.array([21e-6, 21e-6, 21e-6], jnp.float32)
+# numpy (host) constants: module-level jnp arrays are device buffers that
+# poison every jit that closes over them (see ops/rng.py note)
+import numpy as _np
+
+_BETA_R = _np.array([3.8e-6, 13.5e-6, 33.1e-6], _np.float32)
+_BETA_M = _np.array([21e-6, 21e-6, 21e-6], _np.float32)
 
 
 @struct.dataclass
@@ -124,7 +128,8 @@ def nishita_sky(
     hm = env.atmosphere.hm
     g = env.atmosphere.g
 
-    orig = position + jnp.array([0.0, 1.0, 0.0], jnp.float32) * earth_radius
+    up = _np.array([0.0, 1.0, 0.0], _np.float32)
+    orig = position + up * earth_radius
     valid, t0, t1 = _ray_sphere_both(orig, ray_dir, atmosphere_radius)
     valid = valid & (t1 >= 0.0)
     tmin = jnp.where((t0 > 0.0), jnp.maximum(t0, 0.0), 0.0)

@@ -17,10 +17,15 @@ import jax
 import jax.numpy as jnp
 
 _TEA_ROUNDS = 16
-_LCG_A = jnp.uint32(1664525)
-_LCG_C = jnp.uint32(1013904223)
-_MASK24 = jnp.uint32(0x00FFFFFF)
-_INV_2_24 = jnp.float32(1.0 / 0x01000000)
+# NOTE: plain Python literals, NOT jnp scalars. A module-level jnp constant
+# is a committed device array that jitted callers close over, and gathers /
+# fusions against closed-over device constants take a catastrophic slow
+# path on the TPU runtime (measured 1000x+). Python ints inline as HLO
+# literals and preserve uint32 wraparound via weak typing.
+_LCG_A = 1664525
+_LCG_C = 1013904223
+_MASK24 = 0x00FFFFFF
+_INV_2_24 = float(1.0 / 0x01000000)
 
 
 def lcg_init(val0: jax.Array, val1: jax.Array) -> jax.Array:

@@ -32,16 +32,22 @@ import jax.numpy as jnp
 from raytracerfacility_tpu.ops.bvh import BVH, decode_int_column
 from raytracerfacility_tpu.ops.intersect import TraceResult
 
-# Measured on v5e (through the axon runtime): ops inside while_loop/fori
-# bodies never fuse — every op pays ~1 ms of per-kernel overhead — while the
-# SAME step sequence fully unrolled in straight-line code fuses and runs
-# ~80x faster. So traversal runs a fully-unrolled PREFIX of
-# ``TRAVERSE_PREFIX`` steps (covers virtually all rays; ~165 visits max on
-# the bench scenes) and falls into a while_loop TAIL of ``UNROLL``-step
-# bodies only for straggler lanes (completeness, usually 0 iterations).
-# CPU test runs shrink both via env vars (compile time scales with unroll).
-TRAVERSE_PREFIX = int(os.environ.get("RTF_TPU_TRAVERSE_PREFIX", "160"))
-UNROLL = int(os.environ.get("RTF_TPU_TRAVERSE_UNROLL", "16"))
+# Measured on v5e: a while_loop with a MINIMAL body is the fast path — the
+# body fuses into a couple of kernels and iterations run back-to-back on
+# device (~2.6 us/iteration at 230k lanes; full primary traversal of the
+# bench scene in 0.5 ms). Large unrolled bodies are ~1000x slower (each
+# step's ops stop fusing and round-trip HBM). Two benchmarking traps that
+# previously inverted this conclusion, kept here as a warning:
+#   1. NEVER close over device arrays in a jitted hot path — gathers against
+#      HLO *constants* take a catastrophic slow path (1400x) on this
+#      backend. Pass tables as arguments.
+#   2. Repeated calls with IDENTICAL inputs can be served from an execution
+#      cache; benchmark with varying inputs.
+# PREFIX (unrolled straight-line steps before the loop) and UNROLL (steps
+# per while body) stay configurable for experimentation; defaults are the
+# measured optimum.
+TRAVERSE_PREFIX = int(os.environ.get("RTF_TPU_TRAVERSE_PREFIX", "0"))
+UNROLL = int(os.environ.get("RTF_TPU_TRAVERSE_UNROLL", "1"))
 _MAX_OUTER = 8192  # safety bound on while-tail iterations
 _DIR_EPS = 1e-20
 

@@ -14,10 +14,6 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
-# small traversal unroll/prefix: correctness-neutral (the while tail
-# completes any traversal), big CPU compile-time win
-os.environ.setdefault("RTF_TPU_TRAVERSE_UNROLL", "2")
-os.environ.setdefault("RTF_TPU_TRAVERSE_PREFIX", "4")
 
 import jax  # noqa: E402
 
