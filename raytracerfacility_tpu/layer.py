@@ -146,6 +146,10 @@ class RayTracerLayer:
         self.render_strands_renderer = True
         self.render_btf_mesh_renderer = True
         self.scene_camera = RayTracerCamera(self.scene)
+        # interactive-preview scale for the scene camera
+        # (ref RayTracerLayer.hpp:58, default 0.1x of the viewport; we keep
+        # 1.0 since there is no editor viewport here)
+        self.resolution_multiplier = 1.0
         self.cameras: dict[int, RayTracerCamera] = {}
         self._material_versions: dict[int, int] = {}
 
@@ -257,6 +261,16 @@ class RayTracerLayer:
         cam = RayTracerCamera(self.scene)
         self.cameras[handle] = cam
         return cam
+
+    def set_viewport(self, width: int, height: int) -> None:
+        """Size the scene camera to multiplier x viewport
+        (ref RayTracerLayer.cpp editor resize with m_resolutionMultiplier)."""
+        self.scene_camera.camera.resize(
+            (
+                max(1, int(width * self.resolution_multiplier)),
+                max(1, int(height * self.resolution_multiplier)),
+            )
+        )
 
     def late_update(self) -> dict[int, np.ndarray]:
         """Render the scene camera + all registered cameras

@@ -176,6 +176,44 @@ estimate_illumination_jit = jax.jit(
 
 
 @dataclasses.dataclass
+class LightProbeGroup:
+    """Thin bridge from a probe buffer to the estimator launch
+    (ref LightProbeGroup.cpp:8-15; binary list persistence helpers
+    LightProbeGroup.hpp:16-32 map to numpy save/load here)."""
+
+    light_probes: LightProbes | None = None
+
+    def calculate_illumination(self, scene, env, config, seed=0,
+                               push_normal_distance=0.001):
+        assert self.light_probes is not None
+        self.light_probes = estimate_illumination_jit(
+            scene, env, config, self.light_probes, seed, push_normal_distance
+        )
+        return self.light_probes
+
+    def save(self, path: str) -> None:
+        import numpy as np
+
+        assert self.light_probes is not None
+        np.savez(path, **{
+            k: np.asarray(getattr(self.light_probes, k))
+            for k in ("a_position", "b_position", "c_position", "a_normal",
+                      "b_normal", "c_normal", "front_face", "back_face",
+                      "energy", "direction")
+        })
+
+    @classmethod
+    def load(cls, path: str) -> "LightProbeGroup":
+        import jax.numpy as jnp
+        import numpy as np
+
+        z = np.load(path)
+        return cls(light_probes=LightProbes(
+            **{k: jnp.asarray(z[k]) for k in z.files}
+        ))
+
+
+@dataclasses.dataclass
 class TriangleIlluminationEstimator:
     """Host front-end mirroring the reference component
     (ref TriangleIlluminationEstimator.cpp): prepare probes over meshes,

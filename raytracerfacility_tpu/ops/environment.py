@@ -87,6 +87,36 @@ class EnvironmentState:
         return cls(**base)
 
 
+def cie_sky_intensity(ray_dir, sun_dir, zenith):
+    """CIE overcast/clear-sky luminance ratio (ref Environment.cuh:8-26).
+
+    Present for parity: the reference defines but never calls it; exposed
+    here as a utility for custom sky shaders."""
+    horizon = ray_dir[..., 1] <= 0.0
+    flat = jnp.stack(
+        [ray_dir[..., 0], jnp.full(ray_dir.shape[:-1], 0.01), ray_dir[..., 2]],
+        axis=-1,
+    )
+    rd = jnp.where(horizon[..., None], flat, ray_dir)
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+
+    def angle(a, b):
+        return jnp.arccos(jnp.clip(jnp.sum(a * b, axis=-1), -1.0, 1.0))
+
+    gamma = angle(sun_dir, rd)
+    cos2_gamma = jnp.cos(gamma) ** 2
+    theta = angle(zenith, rd)
+    z0 = angle(zenith, sun_dir)
+    cos2_z0 = jnp.cos(z0) ** 2
+    e = 2.7182818
+    return (
+        (0.91 + 10.0 * e ** (-3.0 * gamma) + 0.45 * cos2_gamma)
+        * (1.0 - e ** (-0.32 / jnp.cos(theta)))
+        / 0.27
+        / (0.91 + 10.0 * e ** (-3.0 * z0) + 0.45 * cos2_z0)
+    )
+
+
 def _ray_sphere_both(orig: jax.Array, direction: jax.Array, radius) -> tuple:
     """Both intersection distances with a sphere at the origin.
 
