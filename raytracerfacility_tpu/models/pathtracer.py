@@ -87,6 +87,9 @@ class RenderConfig:
     atmosphere_samples_light: int = 8
     enable_btf: bool = False
     enable_subsurface: bool = False
+    # fold spp into the lane dimension instead of a sequential scan (one
+    # big ray pool per frame; the throughput mode for per-op-bound runtimes)
+    samples_in_lanes: bool = False
 
     @property
     def max_segments(self) -> int:
@@ -524,10 +527,39 @@ def render_samples(
     )
     iy_global = iy + jnp.asarray(row_offset, jnp.float32)
     pixel_index = (ix + width * iy_global).astype(jnp.uint32)
-    seed = frame_id.astype(jnp.uint32) + jnp.uint32(0x9E3779B1) * jnp.asarray(
+    base_seed = frame_id.astype(jnp.uint32) + jnp.uint32(0x9E3779B1) * jnp.asarray(
         sample_stream, jnp.uint32
     )
-    rng = lcg_init(pixel_index, jnp.broadcast_to(seed, pixel_index.shape))
+
+    if config.samples_in_lanes and sample_count > 1:
+        # spp folded into the lane dimension: one ray pool of shape
+        # (S, H, W) traced in a single pass. On the target runtime each
+        # executed op has a large fixed overhead, so rays-per-op is the
+        # throughput lever; RNG streams are decorrelated per sample slot
+        # (deviation from the reference's sequential per-pixel stream;
+        # distributions match).
+        s_idx = jnp.arange(sample_count, dtype=jnp.uint32)[:, None, None]
+        seed = base_seed + jnp.uint32(0x85EBCA6B) * s_idx
+        rng = lcg_init(
+            jnp.broadcast_to(pixel_index, (sample_count, height, width)),
+            jnp.broadcast_to(seed, (sample_count, height, width)),
+        )
+        rng, origin, direction = generate_camera_rays(
+            camera, rng, ix[None], iy_global[None], width, config.height
+        )
+        path, rays = trace_radiance_counted(
+            scene, env, config, origin, direction, rng, jnp.float32(0.0)
+        )
+        inv_n = 1.0 / config.samples
+        return (
+            jnp.sum(path.radiance, axis=0) * inv_n,
+            jnp.sum(path.first_normal, axis=0) * inv_n,
+            jnp.sum(path.first_albedo, axis=0) * inv_n,
+            jnp.sum(path.first_position, axis=0) * inv_n,
+            rays,
+        )
+
+    rng = lcg_init(pixel_index, jnp.broadcast_to(base_seed, pixel_index.shape))
 
     def sample_body(carry, _):
         rng, acc_color, acc_normal, acc_albedo, acc_position, rays = carry

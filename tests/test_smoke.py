@@ -77,3 +77,33 @@ def test_aov_buffers():
     hit = lengths > 0.5
     assert hit.any()
     np.testing.assert_allclose(lengths[hit], 1.0, atol=1e-3)
+
+
+def test_samples_in_lanes_matches_statistics():
+    """Lane-folded spp (one big ray pool) converges to the same image as the
+    sequential spp scan."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from raytracerfacility_tpu.models.pathtracer import (
+        RenderConfig,
+        init_frame,
+        render_frame_jit,
+    )
+
+    scene = build_test_scene()
+    compiled = scene.build(build_bvh=False)
+    from raytracerfacility_tpu.ops.camera import CameraProperties
+
+    cam = CameraProperties(fov=90.0, size=(32, 32))
+    cam.look_at_target((0.0, 1.0, 2.4), (0.0, 0.9, 0.0))
+    env = EnvironmentProperties().state()
+    cfg = RenderConfig(width=32, height=32, bounces=2, samples=4)
+    seq = render_frame_jit(compiled, cam.state(), env, cfg, init_frame(32, 32))
+    lane_cfg = dataclasses.replace(cfg, samples_in_lanes=True)
+    lane = render_frame_jit(compiled, cam.state(), env, lane_cfg, init_frame(32, 32))
+    a = np.asarray(seq.color[..., :3])
+    b = np.asarray(lane.color[..., :3])
+    assert np.isfinite(b).all()
+    assert abs(a.mean() - b.mean()) < 0.05
