@@ -63,29 +63,54 @@ def run_once(width, height, frames):
     return total_rays / dt / 1e6
 
 
+def _run_single(width: int, height: int, frames: int) -> None:
+    """Subprocess entry: one resolution attempt, prints '<mrays>' on
+    success."""
+    try:
+        mrays = run_once(width, height, frames)
+        print(f"RESULT {mrays:.6f}")
+    except Exception as exc:
+        print(f"FAILED {str(exc)[:140]}", file=sys.stderr)
+        sys.exit(1)
+
+
 def main() -> None:
+    if "--single" in sys.argv:
+        i = sys.argv.index("--single")
+        _run_single(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+                    int(sys.argv[i + 3]))
+        return
+
+    import subprocess
+
     quick = "--quick" in sys.argv
     resolutions = [(640, 360)] if quick else RESOLUTIONS
-    frames = 2 if quick else 2
+    frames = 2
 
     value = 0.0
     label = "none"
     for width, height in resolutions:
-        done = False
+        # Each attempt runs in a fresh process: a crashed TPU worker poisons
+        # the client that hit it, and needs a couple of minutes to recover.
         for attempt in range(2):
-            try:
-                value = run_once(width, height, frames)
+            proc = subprocess.run(
+                [sys.executable, __file__, "--single", str(width),
+                 str(height), str(frames)],
+                capture_output=True, text=True, timeout=2400,
+            )
+            out = proc.stdout.strip().splitlines()
+            result = [l for l in out if l.startswith("RESULT ")]
+            if proc.returncode == 0 and result:
+                value = float(result[-1].split()[1])
                 label = f"{height}p"
-                done = True
                 break
-            except Exception as exc:
-                print(
-                    f"# {width}x{height} attempt {attempt} failed: "
-                    f"{str(exc)[:110]}",
-                    file=sys.stderr,
-                )
-                time.sleep(30)
-        if done:
+            print(
+                f"# {width}x{height} attempt {attempt} failed "
+                f"(rc={proc.returncode})",
+                file=sys.stderr,
+            )
+            time.sleep(150)  # worker recovery window
+        if label != "none":
             break
 
     print(
