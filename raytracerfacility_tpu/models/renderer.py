@@ -213,6 +213,14 @@ class RayTracerCamera:
                 return True
         return False
 
+    def save_screenshot(self, path: str) -> None:
+        """Write the current color frame to a PNG (the reference's
+        screenshot export, ref RayTracerCamera.cpp:38-41)."""
+        assert self._frame is not None, "render() first"
+        from raytracerfacility_tpu.utils.image import write_png
+
+        write_png(path, np.asarray(self._frame.color)[..., :3])
+
     @property
     def frame(self) -> FrameBuffers | None:
         return self._frame
