@@ -99,7 +99,13 @@ class RenderConfig:
 
 
 def trace_closest(scene: CompiledScene, origin, direction, tmin, tmax) -> TraceResult:
-    """Traversal dispatch: LBVH when built, brute-force oracle otherwise."""
+    """Traversal dispatch: Pallas mega-kernel when packed (one
+    op-execution for the whole trace; ops/pallas_brute.py), else LBVH when
+    built, else the brute-force oracle."""
+    if scene.pallas_tris is not None:
+        from raytracerfacility_tpu.ops.pallas_brute import trace_closest_pallas
+
+        return trace_closest_pallas(scene.pallas_tris, origin, direction, tmin, tmax)
     if scene.bvh is not None:
         from raytracerfacility_tpu.ops.traverse import trace_closest_bvh
 
@@ -112,6 +118,10 @@ def trace_closest(scene: CompiledScene, origin, direction, tmin, tmax) -> TraceR
 
 
 def trace_any(scene: CompiledScene, origin, direction, tmin, tmax) -> jax.Array:
+    if scene.pallas_tris is not None:
+        from raytracerfacility_tpu.ops.pallas_brute import trace_any_pallas
+
+        return trace_any_pallas(scene.pallas_tris, origin, direction, tmin, tmax)
     if scene.bvh is not None:
         from raytracerfacility_tpu.ops.traverse import trace_any_bvh
 

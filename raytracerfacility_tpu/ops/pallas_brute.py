@@ -1,0 +1,225 @@
+"""Pallas TPU brute-force trace kernel: triangle-sequential, ray-parallel.
+
+The XLA traversal executes each loop-body HLO op as a separate
+host-mediated kernel on the target runtime (~0.5 ms per op-execution), so
+one trace costs iterations x body-ops x 0.5 ms. This kernel collapses the
+whole trace into ONE op-execution: a `fori_loop` over triangles inside the
+kernel, each iteration testing one triangle (scalar broadcast) against the
+full ray block (vector lanes).
+
+Why triangle-sequential rather than a BVH walk: Mosaic has no per-lane
+vector gather, so a per-ray BVH walk must emulate gathers (one-hot MXU
+matmuls — see ops/pallas_trace.py, which works in interpret mode but is
+latency-bound and currently miscompiles on device). A *scalar* dynamic row
+index shared by every lane is natively supported: the triangle loop loads
+row j with `pl.ds(j, 1)` and broadcasts its nine scalars against the
+(8k, 128) ray tile. For the scene sizes this framework targets (the
+reference caps interactive scenes at a few thousand primitives;
+ref RayTracer.cu:1251-1598 rebuilds whole GAS buffers per edit) the brute
+sweep's N x R work is bought back thousands of times over by eliminating
+per-op mediation.
+
+Closest-hit semantics match ops/intersect.py:moller_trumbore exactly:
+accept iff |det| > 1e-12, u >= 0, v >= 0, u+v <= 1, tmin < t < best_t
+(strict; ties keep the lowest triangle index). Curve primitives are not
+handled — callers gate on `has_curves`.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracerfacility_tpu.ops.intersect import TraceResult
+
+# rays per grid step, in (BLOCK_ROWS, 128) f32 tiles
+BLOCK_ROWS = int(os.environ.get("RTF_TPU_BRUTE_ROWS", "64"))
+# triangles per grid step: the table rides in SMEM (scalar memory, ~1 MB,
+# 32 B per scalar), so it is windowed in chunks along a second grid axis
+# with best-hit accumulation in the revisited output block
+TRI_CHUNK = int(os.environ.get("RTF_TPU_BRUTE_CHUNK", "512"))
+_LANES = 128
+_DET_EPS = 1e-12
+
+_COLS = 9  # v0(3) e1(3) e2(3)
+
+
+def pack_tri_table(v0, e1, e2) -> jax.Array:
+    """(N, _COLS) f32 triangle table, rows padded to a TRI_CHUNK multiple
+    with degenerate triangles (det == 0 -> never hit)."""
+    n = v0.shape[0]
+    pad = (-n) % TRI_CHUNK
+    table = jnp.zeros((n + pad, _COLS), jnp.float32)
+    table = table.at[:n, 0:3].set(v0)
+    table = table.at[:n, 3:6].set(e1)
+    table = table.at[:n, 6:9].set(e2)
+    return table
+
+
+def _kernel(tris_ref, ox, oy, oz, dx, dy, dz, tmn, tmx,
+            t_ref, prim_ref, u_ref, v_ref):
+    o_x, o_y, o_z = ox[...], oy[...], oz[...]
+    d_x, d_y, d_z = dx[...], dy[...], dz[...]
+    tmin_v = tmn[...]
+    chunk_id = pl.program_id(1)
+
+    @pl.when(chunk_id == 0)
+    def _init():
+        t_ref[...] = tmx[...]
+        prim_ref[...] = jnp.full_like(tmx[...], -1.0)
+        u_ref[...] = jnp.zeros_like(tmx[...])
+        v_ref[...] = jnp.zeros_like(tmx[...])
+
+    base = (chunk_id * TRI_CHUNK).astype(jnp.float32)
+    best_t = t_ref[...]
+    best_prim = prim_ref[...]
+    best_u = u_ref[...]
+    best_v = v_ref[...]
+
+    def body(j, carry):
+        best_t, best_prim, best_u, best_v = carry
+        # scalar loads from SMEM: SREG -> vector broadcasts are native,
+        # unlike VMEM (1,1) -> (rows,128) vector broadcasts, which Mosaic
+        # rejects ("Broadcast in both sublanes and lanes")
+        def col(c):
+            return tris_ref[j, c]
+
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        e1x, e1y, e1z = col(3), col(4), col(5)
+        e2x, e2y, e2z = col(6), col(7), col(8)
+
+        # Moller-Trumbore, one scalar triangle vs the whole ray tile
+        pvx = d_y * e2z - d_z * e2y
+        pvy = d_z * e2x - d_x * e2z
+        pvz = d_x * e2y - d_y * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        ok_det = jnp.abs(det) > _DET_EPS
+        inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
+        tvx = o_x - v0x
+        tvy = o_y - v0y
+        tvz = o_z - v0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv_det
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        ok = (
+            ok_det
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > tmin_v)
+            & (t < best_t)
+        )
+        jf = base + j.astype(jnp.float32)
+        return (
+            jnp.where(ok, t, best_t),
+            jnp.where(ok, jf, best_prim),
+            jnp.where(ok, u, best_u),
+            jnp.where(ok, v, best_v),
+        )
+
+    best_t, best_prim, best_u, best_v = jax.lax.fori_loop(
+        0, TRI_CHUNK, body, (best_t, best_prim, best_u, best_v)
+    )
+    t_ref[...] = best_t
+    prim_ref[...] = best_prim
+    u_ref[...] = best_u
+    v_ref[...] = best_v
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _trace(tri_table, origin, direction, tmin, tmax, interpret=False):
+    num_tris = tri_table.shape[0]
+    r = origin.shape[0]
+    block = BLOCK_ROWS * _LANES
+    pad = (-r) % block
+    if pad:
+        origin = jnp.concatenate(
+            [origin, jnp.zeros((pad, 3), jnp.float32)], axis=0
+        )
+        direction = jnp.concatenate(
+            [direction, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+                                 (pad, 1))], axis=0
+        )
+        tmin = jnp.concatenate([tmin, jnp.zeros(pad, jnp.float32)])
+        tmax = jnp.concatenate([tmax, jnp.zeros(pad, jnp.float32)])
+    rp = r + pad
+    rows = rp // _LANES
+
+    def plane(x):
+        return x.reshape(rows, _LANES)
+
+    ray_ins = (
+        plane(origin[:, 0]), plane(origin[:, 1]), plane(origin[:, 2]),
+        plane(direction[:, 0]), plane(direction[:, 1]), plane(direction[:, 2]),
+        plane(tmin), plane(tmax),
+    )
+    # grid: (ray blocks, tri chunks); chunks iterate innermost so each ray
+    # block's best-hit record accumulates in its revisited VMEM output block
+    grid = (rows // BLOCK_ROWS, num_tris // TRI_CHUNK)
+    ray_spec = pl.BlockSpec((BLOCK_ROWS, _LANES), lambda i, c: (i, 0))
+    tri_spec = pl.BlockSpec((TRI_CHUNK, _COLS), lambda i, c: (c, 0),
+                            memory_space=pltpu.SMEM)
+    out_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    t, prim, u, v = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=(tri_spec,) + (ray_spec,) * 8,
+        out_specs=(ray_spec,) * 4,
+        out_shape=(out_shape,) * 4,
+        interpret=interpret,
+    )(tri_table, *ray_ins)
+
+    def unplane(x):
+        return x.reshape(rp)[:r]
+
+    return unplane(t), unplane(prim), unplane(u), unplane(v)
+
+
+def trace_closest_pallas(
+    tri_table: jax.Array,
+    origin: jax.Array,  # (..., 3)
+    direction: jax.Array,  # (..., 3)
+    tmin: jax.Array,
+    tmax: jax.Array,
+    interpret: bool | None = None,
+) -> TraceResult:
+    """Drop-in for trace_closest_bruteforce/trace_closest_bvh (triangles
+    only). ``tri_table`` comes from :func:`pack_tri_table`."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch = jnp.broadcast_shapes(origin.shape[:-1], jnp.shape(tmin),
+                                 jnp.shape(tmax))
+    import math as _math
+
+    flat = (_math.prod(batch),) if batch else (1,)
+    origin = jnp.broadcast_to(origin, batch + (3,)).reshape(flat + (3,))
+    direction = jnp.broadcast_to(direction, batch + (3,)).reshape(flat + (3,))
+    tmin_f = jnp.broadcast_to(tmin, batch).reshape(flat).astype(jnp.float32)
+    tmax_f = jnp.broadcast_to(tmax, batch).reshape(flat).astype(jnp.float32)
+    t, prim, u, v = _trace(tri_table, origin, direction, tmin_f, tmax_f,
+                           interpret=interpret)
+    prim_i = prim.astype(jnp.int32)
+    hit = prim_i >= 0
+    return TraceResult(
+        t=t.reshape(batch),
+        prim=prim_i.reshape(batch),
+        u=u.reshape(batch),
+        v=v.reshape(batch),
+        hit=hit.reshape(batch),
+    )
+
+
+def trace_any_pallas(tri_table, origin, direction, tmin, tmax,
+                     interpret=None) -> jax.Array:
+    """Occlusion query via the closest-hit kernel (same accept window)."""
+    return trace_closest_pallas(
+        tri_table, origin, direction, tmin, tmax, interpret=interpret
+    ).hit

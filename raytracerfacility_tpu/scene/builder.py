@@ -472,6 +472,22 @@ def build_compiled_scene(
             kind=geometry.kind, has_curves=has_curves,
         )
 
+    # Pallas brute-trace table: on by default on TPU (where it collapses
+    # the whole trace into one op-execution; see ops/pallas_brute.py), off
+    # on CPU (interpret mode is slow); RTF_TPU_PALLAS_BRUTE=1/0 overrides.
+    pallas_tris = None
+    if not has_curves:
+        import os
+
+        import jax
+
+        flag = os.environ.get("RTF_TPU_PALLAS_BRUTE")
+        enabled = (jax.default_backend() == "tpu") if flag is None else flag == "1"
+        if enabled:
+            from raytracerfacility_tpu.ops.pallas_brute import pack_tri_table
+
+            pallas_tris = pack_tri_table(geometry.v0, geometry.e1, geometry.e2)
+
     return CompiledScene(
         geometry=geometry,
         materials=materials,
@@ -479,4 +495,5 @@ def build_compiled_scene(
         instance_handle=jnp.asarray(np.array(inst_handles, np.uint32)),
         btf=btf_table,
         bvh=bvh,
+        pallas_tris=pallas_tris,
     )

@@ -78,6 +78,9 @@ class CompiledScene:
     instance_handle: jax.Array  # (I, 2) uint32 (lo, hi) of the 64-bit handle
     btf: object | None = None  # mlvq.BTFTable when the scene has BTF materials
     bvh: object | None = None  # ops.bvh.BVH when built
+    # (N, 9) f32 SMEM triangle table for the Pallas brute-trace mega-kernel
+    # (ops/pallas_brute.py); None when disabled or when the scene has curves
+    pallas_tris: object | None = None
 
     @property
     def num_instances(self) -> int:
