@@ -8,16 +8,14 @@ The ray count is honest: only lanes that were alive at the start of a path
 segment count toward the numerator. Target: 100 Mrays/s/chip (BASELINE.md).
 
 Runtime realities measured on the axon-tunneled v5e this round (see
-raytracerfacility_tpu/ops/pallas_trace.py for the full notes):
-
-* timing is only valid when fenced by a device->host transfer of a
-  dependent value (block_until_ready can return early);
-* throughput is bounded by per-op host mediation (~Mrays/s is flat across
-  resolutions), and ray pools beyond ~0.4M lanes crash the TPU worker.
-
-The benchmark therefore walks resolutions downward from 1080p until a
-configuration completes, retries after device faults, and reports the
-honest fenced number for the largest working config.
+raytracerfacility_tpu/ops/pallas_trace.py for the full notes): timing is
+only valid when fenced by a device->host transfer of a dependent value
+(block_until_ready can return early), and the worker kills programs that
+run longer than ~60 s. With the Pallas brute-trace mega-kernel
+(ops/pallas_brute.py) a 1080p 8-bounce frame runs in ~1.6 s, well under
+the watchdog; the benchmark still walks the resolution ladder downward on
+failure and runs each attempt in a fresh subprocess (a crashed worker
+poisons the client that hit it).
 """
 
 from __future__ import annotations
@@ -27,12 +25,8 @@ import sys
 import time
 
 TARGET_MRAYS = 100.0
-# 360p first: the tunneled TPU worker kills programs running longer than
-# ~60 s (a 540p 8-bounce frame takes ~63 s under per-op mediation and
-# crashes the worker; a crashed worker needs minutes to recover). Leading
-# with the reliable config guarantees the driver gets a number; set
-# RTF_BENCH_FULL=1 to climb toward 1080p afterwards.
-RESOLUTIONS = [(640, 360), (960, 540), (1280, 720), (1920, 1080)]
+# headline config first (BASELINE.md: 1080p 8-bounce), descending fallbacks
+RESOLUTIONS = [(1920, 1080), (1280, 720), (960, 540), (640, 360)]
 
 
 def run_once(width, height, frames):
@@ -45,7 +39,10 @@ def run_once(width, height, frames):
 
     scene, cam, env = _bench_scene(width, height)
     compiled = scene.build()
-    config = RenderConfig(width=width, height=height, bounces=8, samples=1)
+    # the bench scene binds no textures / vertex-color materials: statically
+    # specialize the shading path like the renderer facade would
+    config = RenderConfig(width=width, height=height, bounces=8, samples=1,
+                          enable_textures=False, enable_vertex_color=False)
     cam_state = cam.state()
     env_state = env.state()
     frame = init_frame(width, height)
@@ -86,12 +83,10 @@ def main() -> None:
                     int(sys.argv[i + 3]))
         return
 
-    import os
     import subprocess
 
     quick = "--quick" in sys.argv
-    climb = os.environ.get("RTF_BENCH_FULL") == "1" and not quick
-    resolutions = RESOLUTIONS[:1] if not climb else RESOLUTIONS
+    resolutions = RESOLUTIONS[-1:] if quick else RESOLUTIONS
     frames = 2
 
     value = 0.0
@@ -122,10 +117,10 @@ def main() -> None:
                 file=sys.stderr,
             )
             time.sleep(150)  # worker recovery window
-        if got is None:
-            break  # larger configs will not fare better
-        value = got
-        label = f"{height}p"
+        if got is not None:
+            value = got
+            label = f"{height}p"
+            break  # first (largest) working config is the headline
 
     print(
         json.dumps(

@@ -87,6 +87,11 @@ class RenderConfig:
     atmosphere_samples_light: int = 8
     enable_btf: bool = False
     enable_subsurface: bool = False
+    # static shading specialization (the SBT-program-specialization
+    # equivalent): elide texture fetches / vertex-attr gathers for scenes
+    # that bind none (renderer facade sets these from the material table)
+    enable_textures: bool = True
+    enable_vertex_color: bool = True
     # fold spp into the lane dimension instead of a sequential scan (one
     # big ray pool per frame; the throughput mode for per-op-bound runtimes)
     samples_in_lanes: bool = False
@@ -197,8 +202,10 @@ def _segment(
     hit = interpolate_hit(
         scene, res.prim, res.u, res.v, s.direction,
         origin=s.origin, t_hit=res.t,
+        with_tangent=config.enable_textures or config.enable_btf,
+        with_vertex_attrs=config.enable_vertex_color,
     )
-    surf = eval_material(scene, hit)
+    surf = eval_material(scene, hit, enable_textures=config.enable_textures)
 
     # ---- stochastic alpha cutout (ref AnyHitFunc, RayFunctions.cuh:5-23):
     # only MaterialType::Default is tested.
@@ -373,8 +380,11 @@ def _segment(
                 scene, take(rec_prim), take(rec_u), take(rec_v),
                 -disk_normal, check_normal=False,
                 origin=sample_pos, t_hit=take(rec_t),
+                with_tangent=config.enable_textures,
+                with_vertex_attrs=config.enable_vertex_color,
             )
-            rec_surf = eval_material(scene, rec_hit)  # normal mapping only
+            rec_surf = eval_material(  # normal mapping only
+                scene, rec_hit, enable_textures=config.enable_textures)
             out_normal = rec_surf.shading_normal
             close_enough = (
                 jnp.linalg.norm(rec_hit.position - hit.position, axis=-1)

@@ -163,6 +163,8 @@ class RayTracerCamera:
             atmosphere_samples_light=env.num_samples_light,
             enable_btf=compiled.btf is not None,
             enable_subsurface=self._has_subsurface() and compiled.bvh is not None,
+            enable_textures=self._has_textures(),
+            enable_vertex_color=self._has_vertex_color(),
         )
         self._frame = render_frame_jit(
             compiled, self.camera.state(), env.state(), config, self._frame
@@ -200,6 +202,23 @@ class RayTracerCamera:
         for mat in self.scene.materials.values():
             p = mat.properties
             if p.subsurface_factor > 0.0 and p.subsurface_radius[0] > 0.0:
+                return True
+        return False
+
+    def _has_textures(self) -> bool:
+        for mat in self.scene.materials.values():
+            if (mat.albedo_texture is not None
+                    or mat.normal_texture is not None
+                    or mat.metallic_texture is not None
+                    or mat.roughness_texture is not None):
+                return True
+        return False
+
+    def _has_vertex_color(self) -> bool:
+        from raytracerfacility_tpu.enums import MaterialType
+
+        for mat in self.scene.materials.values():
+            if mat.material_type == MaterialType.VERTEX_COLOR:
                 return True
         return False
 

@@ -59,7 +59,14 @@ def interpolate_hit(
     check_normal: bool = True,
     origin: jax.Array | None = None,
     t_hit: jax.Array | None = None,
+    with_tangent: bool = True,
+    with_vertex_attrs: bool = True,
 ) -> HitInfo:
+    """``with_tangent`` / ``with_vertex_attrs`` statically elide the
+    tangent and nearest-vertex color/data fetches when no material in the
+    compiled scene consumes them (the equivalent of the reference's
+    per-material SBT program specialization) — each elision removes
+    gathers from every path segment."""
     geom = scene.geometry
     prim = jnp.clip(prim, 0, geom.num_triangles - 1)
     w = (1.0 - u - v)[..., None]
@@ -71,22 +78,29 @@ def interpolate_hit(
 
     n = geom.normal[prim]  # (..., 3 corners, 3)
     normal = w * n[..., 0, :] + uu * n[..., 1, :] + vv * n[..., 2, :]
-    t = geom.tangent[prim]
-    tangent = w * t[..., 0, :] + uu * t[..., 1, :] + vv * t[..., 2, :]
+    if with_tangent:
+        t = geom.tangent[prim]
+        tangent = w * t[..., 0, :] + uu * t[..., 1, :] + vv * t[..., 2, :]
+    else:
+        tangent = jnp.zeros_like(normal)
     tc = geom.tex_coord[prim]
     tex_coord = w * tc[..., 0, :] + uu * tc[..., 1, :] + vv * tc[..., 2, :]
 
-    # nearest-vertex color/data (ref RayDataDefinations.hpp:152-162)
-    z = 1.0 - u - v
-    pick_x = (u > z) & (u > v)
-    pick_y = (~pick_x) & (v > z)
-    corner = jnp.where(pick_x, 1, jnp.where(pick_y, 2, 0))
-    color = jnp.take_along_axis(
-        geom.color[prim], corner[..., None, None], axis=-2
-    )[..., 0, :]
-    data = jnp.take_along_axis(
-        geom.data[prim], corner[..., None, None], axis=-2
-    )[..., 0, :]
+    if with_vertex_attrs:
+        # nearest-vertex color/data (ref RayDataDefinations.hpp:152-162)
+        z = 1.0 - u - v
+        pick_x = (u > z) & (u > v)
+        pick_y = (~pick_x) & (v > z)
+        corner = jnp.where(pick_x, 1, jnp.where(pick_y, 2, 0))
+        color = jnp.take_along_axis(
+            geom.color[prim], corner[..., None, None], axis=-2
+        )[..., 0, :]
+        data = jnp.take_along_axis(
+            geom.data[prim], corner[..., None, None], axis=-2
+        )[..., 0, :]
+    else:
+        color = jnp.zeros(normal.shape[:-1] + (4,), normal.dtype)
+        data = jnp.zeros(normal.shape[:-1] + (4,), normal.dtype)
 
     if geom.has_curves and origin is not None and t_hit is not None:
         # curve prims: analytic offset-surface normal + attributes lerped
@@ -124,7 +138,8 @@ def interpolate_hit(
         # flip toward the incoming ray (ref RayDataDefinations.hpp:376-378)
         flip = dot(ray_direction, normal) > 0.0
         normal = jnp.where(flip, -normal, normal)
-    tangent = safe_normalize(tangent)
+    if with_tangent:
+        tangent = safe_normalize(tangent)
 
     instance = geom.instance[prim]
     material = scene.instance_material[instance]
@@ -157,7 +172,12 @@ class SurfaceSample:
     btf_index: jax.Array  # (...,) int32, -1 when not a BTF material
 
 
-def eval_material(scene: CompiledScene, hit: HitInfo) -> SurfaceSample:
+def eval_material(scene: CompiledScene, hit: HitInfo,
+                  enable_textures: bool = True) -> SurfaceSample:
+    """``enable_textures=False`` statically elides the four bilinear
+    texture fetches + TBN normal mapping for scenes whose material table
+    binds no textures (each fetch is a gather chain executed per path
+    segment)."""
     mats = scene.materials
     mid = hit.material
     mtype = mats.material_type[mid]
@@ -165,41 +185,55 @@ def eval_material(scene: CompiledScene, hit: HitInfo) -> SurfaceSample:
     albedo_const = mats.albedo[mid]
     alpha_const = 1.0 - mats.transmission[mid]
 
-    tex_id = mats.albedo_tex[mid]
-    has_tex = tex_id >= 0
-    tex_rgba = sample_stack_bilinear(mats.texels, mats.tex_sizes, tex_id, hit.tex_coord)
-    albedo = jnp.where(has_tex[..., None], tex_rgba[..., :3], albedo_const)
-    alpha = jnp.where(has_tex, tex_rgba[..., 3], alpha_const)
+    if enable_textures:
+        tex_id = mats.albedo_tex[mid]
+        has_tex = tex_id >= 0
+        tex_rgba = sample_stack_bilinear(
+            mats.texels, mats.tex_sizes, tex_id, hit.tex_coord
+        )
+        albedo = jnp.where(has_tex[..., None], tex_rgba[..., :3], albedo_const)
+        alpha = jnp.where(has_tex, tex_rgba[..., 3], alpha_const)
+    else:
+        albedo = albedo_const
+        alpha = alpha_const
 
     # VertexColor material: albedo from nearest-vertex color
     # (ref RayFunctions.cuh:52-56)
     is_vertex_color = mtype == MaterialType.VERTEX_COLOR
     albedo = jnp.where(is_vertex_color[..., None], hit.color[..., :3], albedo)
 
-    rough_id = mats.roughness_tex[mid]
-    rough_tex = sample_stack_bilinear(
-        mats.texels, mats.tex_sizes, rough_id, hit.tex_coord
-    )[..., 0]
-    roughness = jnp.where(rough_id >= 0, rough_tex, mats.roughness[mid])
+    if enable_textures:
+        rough_id = mats.roughness_tex[mid]
+        rough_tex = sample_stack_bilinear(
+            mats.texels, mats.tex_sizes, rough_id, hit.tex_coord
+        )[..., 0]
+        roughness = jnp.where(rough_id >= 0, rough_tex, mats.roughness[mid])
 
-    metal_id = mats.metallic_tex[mid]
-    metal_tex = sample_stack_bilinear(
-        mats.texels, mats.tex_sizes, metal_id, hit.tex_coord
-    )[..., 0]
-    metallic = jnp.where(metal_id >= 0, metal_tex, mats.metallic[mid])
+        metal_id = mats.metallic_tex[mid]
+        metal_tex = sample_stack_bilinear(
+            mats.texels, mats.tex_sizes, metal_id, hit.tex_coord
+        )[..., 0]
+        metallic = jnp.where(metal_id >= 0, metal_tex, mats.metallic[mid])
 
-    # TBN normal mapping (ref RayDataDefinations.hpp:268-281)
-    normal_id = mats.normal_tex[mid]
-    has_normal_map = normal_id >= 0
-    nm = sample_stack_bilinear(mats.texels, mats.tex_sizes, normal_id, hit.tex_coord)
-    binormal = cross(hit.normal, hit.tangent)
-    local = nm[..., :3] * 2.0 - 1.0
-    mapped = normalize(
-        hit.tangent * local[..., 0:1]
-        + binormal * local[..., 1:2]
-        + hit.normal * local[..., 2:3]
-    )
-    shading_normal = jnp.where(has_normal_map[..., None], mapped, hit.normal)
+        # TBN normal mapping (ref RayDataDefinations.hpp:268-281)
+        normal_id = mats.normal_tex[mid]
+        has_normal_map = normal_id >= 0
+        nm = sample_stack_bilinear(
+            mats.texels, mats.tex_sizes, normal_id, hit.tex_coord
+        )
+        binormal = cross(hit.normal, hit.tangent)
+        local = nm[..., :3] * 2.0 - 1.0
+        mapped = normalize(
+            hit.tangent * local[..., 0:1]
+            + binormal * local[..., 1:2]
+            + hit.normal * local[..., 2:3]
+        )
+        shading_normal = jnp.where(has_normal_map[..., None], mapped,
+                                   hit.normal)
+    else:
+        roughness = mats.roughness[mid]
+        metallic = mats.metallic[mid]
+        shading_normal = hit.normal
 
     return SurfaceSample(
         albedo=albedo,

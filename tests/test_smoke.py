@@ -107,3 +107,36 @@ def test_samples_in_lanes_matches_statistics():
     b = np.asarray(lane.color[..., :3])
     assert np.isfinite(b).all()
     assert abs(a.mean() - b.mean()) < 0.05
+
+
+def test_static_shading_specialization_matches():
+    """Disabling texture/vertex-color fetches for a scene that binds none
+    must not change the image (same semantics, fewer executed ops)."""
+    import dataclasses
+
+    from raytracerfacility_tpu.models.pathtracer import (
+        RenderConfig,
+        init_frame,
+        render_frame_jit,
+    )
+    from raytracerfacility_tpu.ops.camera import CameraProperties
+
+    scene = build_test_scene()
+    compiled = scene.build(build_bvh=False)
+    cam = CameraProperties(fov=60.0, size=(16, 16))
+    cam.look_at_target((0.0, 1.0, 2.6), (0.0, 0.8, 0.0))
+    env = EnvironmentProperties().state()
+    cfg = RenderConfig(width=16, height=16, bounces=2, samples=1)
+    full = render_frame_jit(compiled, cam.state(), env, cfg, init_frame(16, 16))
+    lean_cfg = dataclasses.replace(
+        cfg, enable_textures=False, enable_vertex_color=False
+    )
+    lean = render_frame_jit(
+        compiled, cam.state(), env, lean_cfg, init_frame(16, 16)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.color), np.asarray(lean.color)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.normal), np.asarray(lean.normal)
+    )
