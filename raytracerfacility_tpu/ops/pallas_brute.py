@@ -43,25 +43,60 @@ BLOCK_ROWS = int(os.environ.get("RTF_TPU_BRUTE_ROWS", "64"))
 # 32 B per scalar), so it is windowed in chunks along a second grid axis
 # with best-hit accumulation in the revisited output block
 TRI_CHUNK = int(os.environ.get("RTF_TPU_BRUTE_CHUNK", "512"))
+# triangles per cullable sub-chunk: rows are Morton-ordered at pack time so
+# each 64-tri run is spatially compact; its AABB is slab-tested against the
+# whole ray tile and the run is skipped when no lane can hit it
+SUB = 64
 _LANES = 128
 _DET_EPS = 1e-12
 
-_COLS = 9  # v0(3) e1(3) e2(3)
+_COLS = 10  # v0(3) e1(3) e2(3) original-prim(1)
 
 
-def pack_tri_table(v0, e1, e2) -> jax.Array:
-    """(N, _COLS) f32 triangle table, rows padded to a TRI_CHUNK multiple
-    with degenerate triangles (det == 0 -> never hit)."""
+def pack_tri_table(v0, e1, e2):
+    """Morton-orders the triangles (so SUB-sized runs are spatially
+    compact), builds the (N, _COLS) f32 SMEM table (column 9 = original
+    primitive index, exact as f32 for N < 2^24) and the per-sub-chunk
+    (N/SUB, 8) AABB table [bmin, bmax, pad]. Rows are padded to a
+    TRI_CHUNK multiple with degenerate triangles (det == 0 -> never hit)
+    under inverted AABBs (never entered). Returns (table, sub_aabbs)."""
+    from raytracerfacility_tpu.ops.bvh import morton_codes
+
     n = v0.shape[0]
+    centroid = v0 + (e1 + e2) / 3.0
+    lo = jnp.min(jnp.minimum(v0, jnp.minimum(v0 + e1, v0 + e2)), axis=0)
+    hi = jnp.max(jnp.maximum(v0, jnp.maximum(v0 + e1, v0 + e2)), axis=0)
+    order = jnp.argsort(morton_codes(centroid, lo, hi))
+    v0, e1, e2 = v0[order], e1[order], e2[order]
+
     pad = (-n) % TRI_CHUNK
     table = jnp.zeros((n + pad, _COLS), jnp.float32)
     table = table.at[:n, 0:3].set(v0)
     table = table.at[:n, 3:6].set(e1)
     table = table.at[:n, 6:9].set(e2)
-    return table
+    table = table.at[:n, 9].set(order.astype(jnp.float32))
+
+    big = 3.4e38
+    pmin = jnp.minimum(v0, jnp.minimum(v0 + e1, v0 + e2))
+    pmax = jnp.maximum(v0, jnp.maximum(v0 + e1, v0 + e2))
+    pmin = jnp.concatenate(
+        [pmin, jnp.full((pad, 3), big, jnp.float32)], axis=0
+    )
+    pmax = jnp.concatenate(
+        [pmax, jnp.full((pad, 3), -big, jnp.float32)], axis=0
+    )
+    subs = (n + pad) // SUB
+    sub_aabbs = jnp.zeros((subs, 8), jnp.float32)
+    sub_aabbs = sub_aabbs.at[:, 0:3].set(
+        jnp.min(pmin.reshape(subs, SUB, 3), axis=1)
+    )
+    sub_aabbs = sub_aabbs.at[:, 3:6].set(
+        jnp.max(pmax.reshape(subs, SUB, 3), axis=1)
+    )
+    return table, sub_aabbs
 
 
-def _kernel(tris_ref, ox, oy, oz, dx, dy, dz, tmn, tmx,
+def _kernel(tris_ref, sub_ref, ox, oy, oz, dx, dy, dz, tmn, tmx,
             t_ref, prim_ref, u_ref, v_ref):
     o_x, o_y, o_z = ox[...], oy[...], oz[...]
     d_x, d_y, d_z = dx[...], dy[...], dz[...]
@@ -75,11 +110,18 @@ def _kernel(tris_ref, ox, oy, oz, dx, dy, dz, tmn, tmx,
         u_ref[...] = jnp.zeros_like(tmx[...])
         v_ref[...] = jnp.zeros_like(tmx[...])
 
-    base = (chunk_id * TRI_CHUNK).astype(jnp.float32)
     best_t = t_ref[...]
     best_prim = prim_ref[...]
     best_u = u_ref[...]
     best_v = v_ref[...]
+
+    eps = 1e-20
+    ivx = 1.0 / jnp.where(jnp.abs(d_x) < eps,
+                          jnp.where(d_x < 0, -eps, eps), d_x)
+    ivy = 1.0 / jnp.where(jnp.abs(d_y) < eps,
+                          jnp.where(d_y < 0, -eps, eps), d_y)
+    ivz = 1.0 / jnp.where(jnp.abs(d_z) < eps,
+                          jnp.where(d_z < 0, -eps, eps), d_z)
 
     def body(j, carry):
         best_t, best_prim, best_u, best_v = carry
@@ -117,7 +159,7 @@ def _kernel(tris_ref, ox, oy, oz, dx, dy, dz, tmn, tmx,
             & (t > tmin_v)
             & (t < best_t)
         )
-        jf = base + j.astype(jnp.float32)
+        jf = col(9)
         return (
             jnp.where(ok, t, best_t),
             jnp.where(ok, jf, best_prim),
@@ -125,8 +167,34 @@ def _kernel(tris_ref, ox, oy, oz, dx, dy, dz, tmn, tmx,
             jnp.where(ok, v, best_v),
         )
 
+    def sub_body(si, carry):
+        # slab test of the sub-chunk AABB against the whole tile; skip the
+        # SUB-triangle run when no lane can improve its hit inside it
+        bx0, by0, bz0 = sub_ref[si, 0], sub_ref[si, 1], sub_ref[si, 2]
+        bx1, by1, bz1 = sub_ref[si, 3], sub_ref[si, 4], sub_ref[si, 5]
+        t1x = (bx0 - o_x) * ivx
+        t2x = (bx1 - o_x) * ivx
+        t1y = (by0 - o_y) * ivy
+        t2y = (by1 - o_y) * ivy
+        t1z = (bz0 - o_z) * ivz
+        t2z = (bz1 - o_z) * ivz
+        near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                       jnp.minimum(t1y, t2y)),
+                           jnp.minimum(t1z, t2z))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                      jnp.maximum(t1y, t2y)),
+                          jnp.maximum(t1z, t2z))
+        best_t = carry[0]
+        enter = (near <= far) & (far > tmin_v) & (near < best_t)
+
+        def run(c):
+            return jax.lax.fori_loop(si * SUB, si * SUB + SUB, body, c)
+
+        return jax.lax.cond(jnp.any(enter), run, lambda c: c, carry)
+
     best_t, best_prim, best_u, best_v = jax.lax.fori_loop(
-        0, TRI_CHUNK, body, (best_t, best_prim, best_u, best_v)
+        0, TRI_CHUNK // SUB, sub_body,
+        (best_t, best_prim, best_u, best_v),
     )
     t_ref[...] = best_t
     prim_ref[...] = best_prim
@@ -135,7 +203,8 @@ def _kernel(tris_ref, ox, oy, oz, dx, dy, dz, tmn, tmx,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _trace(tri_table, origin, direction, tmin, tmax, interpret=False):
+def _trace(tri_table, sub_aabbs, origin, direction, tmin, tmax,
+           interpret=False):
     num_tris = tri_table.shape[0]
     r = origin.shape[0]
     block = BLOCK_ROWS * _LANES
@@ -167,15 +236,17 @@ def _trace(tri_table, origin, direction, tmin, tmax, interpret=False):
     ray_spec = pl.BlockSpec((BLOCK_ROWS, _LANES), lambda i, c: (i, 0))
     tri_spec = pl.BlockSpec((TRI_CHUNK, _COLS), lambda i, c: (c, 0),
                             memory_space=pltpu.SMEM)
+    sub_spec = pl.BlockSpec((TRI_CHUNK // SUB, 8), lambda i, c: (c, 0),
+                            memory_space=pltpu.SMEM)
     out_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
     t, prim, u, v = pl.pallas_call(
         _kernel,
         grid=grid,
-        in_specs=(tri_spec,) + (ray_spec,) * 8,
+        in_specs=(tri_spec, sub_spec) + (ray_spec,) * 8,
         out_specs=(ray_spec,) * 4,
         out_shape=(out_shape,) * 4,
         interpret=interpret,
-    )(tri_table, *ray_ins)
+    )(tri_table, sub_aabbs, *ray_ins)
 
     def unplane(x):
         return x.reshape(rp)[:r]
@@ -184,7 +255,7 @@ def _trace(tri_table, origin, direction, tmin, tmax, interpret=False):
 
 
 def trace_closest_pallas(
-    tri_table: jax.Array,
+    tri_table,  # (table, sub_aabbs) from pack_tri_table
     origin: jax.Array,  # (..., 3)
     direction: jax.Array,  # (..., 3)
     tmin: jax.Array,
@@ -204,8 +275,9 @@ def trace_closest_pallas(
     direction = jnp.broadcast_to(direction, batch + (3,)).reshape(flat + (3,))
     tmin_f = jnp.broadcast_to(tmin, batch).reshape(flat).astype(jnp.float32)
     tmax_f = jnp.broadcast_to(tmax, batch).reshape(flat).astype(jnp.float32)
-    t, prim, u, v = _trace(tri_table, origin, direction, tmin_f, tmax_f,
-                           interpret=interpret)
+    table, sub_aabbs = tri_table
+    t, prim, u, v = _trace(table, sub_aabbs, origin, direction,
+                           tmin_f, tmax_f, interpret=interpret)
     prim_i = prim.astype(jnp.int32)
     hit = prim_i >= 0
     return TraceResult(
