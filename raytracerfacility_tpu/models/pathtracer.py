@@ -491,6 +491,85 @@ def trace_radiance_counted(
 
 
 # --------------------------------------------------------------------------
+# Fused mega-kernel dispatch (ops/pallas_fused.py)
+# --------------------------------------------------------------------------
+
+
+def fused_compatible(scene: CompiledScene, env: EnvironmentState,
+                     config: RenderConfig) -> bool:
+    """True when the whole frame can run as the fused Pallas mega-kernel:
+    the scene packed fused tables (triangle-only, Default materials, no
+    textures/BTF/subsurface) and the render config requests the statically
+    specializable feature set."""
+    return (
+        (scene.fused is not None or scene.fused_mt is not None)
+        and config.lighting_type == EnvironmentalLightingType.SCENE
+        and env.cubemap is None
+        and not config.alpha_test
+        and not config.enable_btf
+        and not config.enable_subsurface
+    )
+
+
+def _render_samples_fused(
+    scene, camera, env, config, ix, iy_global, pixel_index, base_seed,
+    height, width, sample_count,
+):
+    """Fused-path body of :func:`render_samples`: all spp fold into one ray
+    pool (the ``samples_in_lanes`` seeding: per-sample RNG streams are
+    decorrelated rather than sequential — distributions match the
+    reference, see render_samples notes)."""
+    from raytracerfacility_tpu.ops.pallas_fused import render_pool_fused
+
+    s_idx = jnp.arange(sample_count, dtype=jnp.uint32)[:, None, None]
+    seed = base_seed + jnp.uint32(0x85EBCA6B) * s_idx
+    rng = lcg_init(
+        jnp.broadcast_to(pixel_index, (sample_count, height, width)),
+        jnp.broadcast_to(seed, (sample_count, height, width)),
+    )
+    rng, origin, direction = generate_camera_rays(
+        camera, rng, ix[None], iy_global[None], width, config.height
+    )
+    # pre-gamma'd flat Scene radiance (ref Environment.cuh:158-162,172-173)
+    env_rgb = jnp.maximum(
+        jnp.power(
+            jnp.maximum(env.color * env.skylight_intensity, 0.0),
+            1.0 / env.gamma,
+        ),
+        0.0,
+    ).astype(jnp.float32)
+
+    n_rays = sample_count * height * width
+    if scene.fused_mt is not None:
+        from raytracerfacility_tpu.ops.pallas_mt import render_pool_mt
+
+        pool_fn, tables = render_pool_mt, scene.fused_mt
+    else:
+        pool_fn, tables = render_pool_fused, scene.fused
+    radiance, normal, albedo, position, rays = pool_fn(
+        tables,
+        origin.reshape(n_rays, 3),
+        direction.reshape(n_rays, 3),
+        rng.reshape(n_rays),
+        jnp.ones((n_rays,), jnp.float32),
+        env_rgb,
+        bounces=config.bounces,
+    )
+
+    def unflatten(a):
+        return a.reshape(sample_count, height, width, 3)
+
+    inv_n = 1.0 / config.samples
+    return (
+        jnp.sum(unflatten(radiance), axis=0) * inv_n,
+        jnp.sum(unflatten(normal), axis=0) * inv_n,
+        jnp.sum(unflatten(albedo), axis=0) * inv_n,
+        jnp.sum(unflatten(position), axis=0) * inv_n,
+        rays,
+    )
+
+
+# --------------------------------------------------------------------------
 # Camera rendering (the __raygen__CR equivalent)
 # --------------------------------------------------------------------------
 
@@ -550,6 +629,12 @@ def render_samples(
     base_seed = frame_id.astype(jnp.uint32) + jnp.uint32(0x9E3779B1) * jnp.asarray(
         sample_stream, jnp.uint32
     )
+
+    if fused_compatible(scene, env, config):
+        return _render_samples_fused(
+            scene, camera, env, config, ix, iy_global, pixel_index,
+            base_seed, height, width, sample_count,
+        )
 
     if config.samples_in_lanes and sample_count > 1:
         # spp folded into the lane dimension: one ray pool of shape

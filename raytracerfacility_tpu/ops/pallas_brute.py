@@ -1,28 +1,43 @@
-"""Pallas TPU brute-force trace kernel: triangle-sequential, ray-parallel.
+"""Pallas TPU trace kernel: triangle-sequential, ray-parallel, with
+two-level hierarchical AABB culling — the framework's scalable traversal.
 
-The XLA traversal executes each loop-body HLO op as a separate
-host-mediated kernel on the target runtime (~0.5 ms per op-execution), so
-one trace costs iterations x body-ops x 0.5 ms. This kernel collapses the
-whole trace into ONE op-execution: a `fori_loop` over triangles inside the
+The kernel streams the whole scene through SMEM windows on a grid axis
+(so triangle count is bounded by HBM, not on-chip memory) and collapses
+each trace into ONE op-execution: a `fori_loop` over triangles inside the
 kernel, each iteration testing one triangle (scalar broadcast) against the
 full ray block (vector lanes).
 
-Why triangle-sequential rather than a BVH walk: Mosaic has no per-lane
-vector gather, so a per-ray BVH walk must emulate gathers (one-hot MXU
-matmuls — see ops/pallas_trace.py, which works in interpret mode but is
-latency-bound and currently miscompiles on device). A *scalar* dynamic row
-index shared by every lane is natively supported: the triangle loop loads
-row j with `pl.ds(j, 1)` and broadcasts its nine scalars against the
-(8k, 128) ray tile. For the scene sizes this framework targets (the
-reference caps interactive scenes at a few thousand primitives;
-ref RayTracer.cu:1251-1598 rebuilds whole GAS buffers per edit) the brute
-sweep's N x R work is bought back thousands of times over by eliminating
-per-op mediation.
+Why triangle-sequential rather than a per-lane BVH walk: Mosaic has no
+per-lane vector gather, so a per-ray walk must emulate gathers (one-hot
+MXU matmuls — measured ~50 us fixed cost per in-kernel matmul on the v5e,
+see ops/pallas_mt.py notes — or VMEM dynamic scalar loads at ~3x SMEM
+cost). A *scalar* dynamic row index shared by every lane is natively
+supported: the triangle loop loads row j and broadcasts its nine scalars
+against the ray tile. Culling therefore happens at *tile* granularity,
+which is exactly what a hierarchy over Morton-ordered runs provides:
+
+* level 1: per TRI_CHUNK window (512 triangles), one AABB slab test of
+  the whole chunk against the tile — skips the entire window body
+  (streamed scenes pay only the window DMA, ~25 KB);
+* level 2: per SUB run (32 triangles), an AABB slab test skips the run.
+
+Rays whose best-t is already unbeatable (dead lanes carry -3e38 from the
+fused path; any-hit lanes after their first hit) fall out of every slab
+test, so the cull sharpens as the tile completes. This is the
+TPU-idiomatic replacement for the reference's RT-core BVH traversal
+(ref RayTracer.cu:355-366 launch -> hardware IAS/GAS walk; BLAS built
+PREFER_FAST_TRACE + compaction at RayTracer.cu:1529-1584): wide
+tile-coherent culling instead of per-thread pointer chasing.
 
 Closest-hit semantics match ops/intersect.py:moller_trumbore exactly:
 accept iff |det| > 1e-12, u >= 0, v >= 0, u+v <= 1, tmin < t < best_t
-(strict; ties keep the lowest triangle index). Curve primitives are not
-handled — callers gate on `has_curves`.
+(strict; ties keep the lowest Morton-ordered row). Curve primitives are
+not handled — callers gate on `has_curves`.
+
+`trace_any_pallas` is a true occlusion query with first-hit exit
+(ref TERMINATE_ON_FIRST_HIT shadow rays, RayFunctions.cuh:81-83): a lane
+that finds any accepted hit poisons its best-t so every later slab test
+culls it; tiles whose lanes are all occluded skip all remaining windows.
 """
 
 from __future__ import annotations
@@ -44,22 +59,31 @@ BLOCK_ROWS = int(os.environ.get("RTF_TPU_BRUTE_ROWS", "64"))
 # with best-hit accumulation in the revisited output block
 TRI_CHUNK = int(os.environ.get("RTF_TPU_BRUTE_CHUNK", "512"))
 # triangles per cullable sub-chunk: rows are Morton-ordered at pack time so
-# each 64-tri run is spatially compact; its AABB is slab-tested against the
-# whole ray tile and the run is skipped when no lane can hit it
-SUB = 64
+# each run is spatially compact; TRI_CHUNK/SUB must be a multiple of 8
+SUB = int(os.environ.get("RTF_TPU_BRUTE_SUB", "32"))
 _LANES = 128
 _DET_EPS = 1e-12
+_DEAD = -3.0e38
 
 _COLS = 10  # v0(3) e1(3) e2(3) original-prim(1)
+
+
+def _run_aabbs(pmin, pmax, run: int):
+    n = pmin.shape[0] // run
+    lo = jnp.min(pmin.reshape(n, run, 3), axis=1)
+    hi = jnp.max(pmax.reshape(n, run, 3), axis=1)
+    out = jnp.zeros((n, 8), jnp.float32)
+    return out.at[:, 0:3].set(lo).at[:, 3:6].set(hi)
 
 
 def pack_tri_table(v0, e1, e2):
     """Morton-orders the triangles (so SUB-sized runs are spatially
     compact), builds the (N, _COLS) f32 SMEM table (column 9 = original
-    primitive index, exact as f32 for N < 2^24) and the per-sub-chunk
-    (N/SUB, 8) AABB table [bmin, bmax, pad]. Rows are padded to a
-    TRI_CHUNK multiple with degenerate triangles (det == 0 -> never hit)
-    under inverted AABBs (never entered). Returns (table, sub_aabbs)."""
+    primitive index, exact as f32 for N < 2^24), the per-sub-run
+    (N/SUB, 8) AABB table and the per-chunk (nchunks_pad8, 8) AABB table.
+    Rows are padded to a TRI_CHUNK multiple with degenerate triangles
+    (det == 0 -> never hit) under inverted AABBs (never entered).
+    Returns (table, sub_aabbs, chunk_aabbs)."""
     from raytracerfacility_tpu.ops.bvh import morton_codes
 
     n = v0.shape[0]
@@ -85,126 +109,148 @@ def pack_tri_table(v0, e1, e2):
     pmax = jnp.concatenate(
         [pmax, jnp.full((pad, 3), -big, jnp.float32)], axis=0
     )
-    subs = (n + pad) // SUB
-    sub_aabbs = jnp.zeros((subs, 8), jnp.float32)
-    sub_aabbs = sub_aabbs.at[:, 0:3].set(
-        jnp.min(pmin.reshape(subs, SUB, 3), axis=1)
-    )
-    sub_aabbs = sub_aabbs.at[:, 3:6].set(
-        jnp.max(pmax.reshape(subs, SUB, 3), axis=1)
-    )
-    return table, sub_aabbs
+    sub_aabbs = _run_aabbs(pmin, pmax, SUB)
+    chunk_aabbs = _run_aabbs(pmin, pmax, TRI_CHUNK)
+    cpad = (-chunk_aabbs.shape[0]) % 8
+    if cpad:
+        fill = jnp.zeros((cpad, 8), jnp.float32)
+        fill = fill.at[:, 0:3].set(big).at[:, 3:6].set(-big)
+        chunk_aabbs = jnp.concatenate([chunk_aabbs, fill], axis=0)
+    return table, sub_aabbs, chunk_aabbs
 
 
-def _kernel(tris_ref, sub_ref, ox, oy, oz, dx, dy, dz, tmn, tmx,
-            t_ref, prim_ref, u_ref, v_ref):
-    o_x, o_y, o_z = ox[...], oy[...], oz[...]
-    d_x, d_y, d_z = dx[...], dy[...], dz[...]
-    tmin_v = tmn[...]
-    chunk_id = pl.program_id(1)
+def _make_kernel(any_hit: bool):
+    def _kernel(tris_ref, sub_ref, chunk_ref, ox, oy, oz, dx, dy, dz,
+                tmn, tmx, t_ref, prim_ref, u_ref, v_ref):
+        o_x, o_y, o_z = ox[...], oy[...], oz[...]
+        d_x, d_y, d_z = dx[...], dy[...], dz[...]
+        tmin_v = tmn[...]
+        chunk_id = pl.program_id(1)
 
-    @pl.when(chunk_id == 0)
-    def _init():
-        t_ref[...] = tmx[...]
-        prim_ref[...] = jnp.full_like(tmx[...], -1.0)
-        u_ref[...] = jnp.zeros_like(tmx[...])
-        v_ref[...] = jnp.zeros_like(tmx[...])
+        @pl.when(chunk_id == 0)
+        def _init():
+            t_ref[...] = tmx[...]
+            prim_ref[...] = jnp.full_like(tmx[...], -1.0)
+            u_ref[...] = jnp.zeros_like(tmx[...])
+            v_ref[...] = jnp.zeros_like(tmx[...])
 
-    best_t = t_ref[...]
-    best_prim = prim_ref[...]
-    best_u = u_ref[...]
-    best_v = v_ref[...]
+        eps = 1e-20
+        ivx = 1.0 / jnp.where(jnp.abs(d_x) < eps,
+                              jnp.where(d_x < 0, -eps, eps), d_x)
+        ivy = 1.0 / jnp.where(jnp.abs(d_y) < eps,
+                              jnp.where(d_y < 0, -eps, eps), d_y)
+        ivz = 1.0 / jnp.where(jnp.abs(d_z) < eps,
+                              jnp.where(d_z < 0, -eps, eps), d_z)
 
-    eps = 1e-20
-    ivx = 1.0 / jnp.where(jnp.abs(d_x) < eps,
-                          jnp.where(d_x < 0, -eps, eps), d_x)
-    ivy = 1.0 / jnp.where(jnp.abs(d_y) < eps,
-                          jnp.where(d_y < 0, -eps, eps), d_y)
-    ivz = 1.0 / jnp.where(jnp.abs(d_z) < eps,
-                          jnp.where(d_z < 0, -eps, eps), d_z)
+        def slab(bx0, by0, bz0, bx1, by1, bz1, best_t):
+            t1x = (bx0 - o_x) * ivx
+            t2x = (bx1 - o_x) * ivx
+            t1y = (by0 - o_y) * ivy
+            t2y = (by1 - o_y) * ivy
+            t1z = (bz0 - o_z) * ivz
+            t2z = (bz1 - o_z) * ivz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                           jnp.minimum(t1y, t2y)),
+                               jnp.minimum(t1z, t2z))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                          jnp.maximum(t1y, t2y)),
+                              jnp.maximum(t1z, t2z))
+            return (near <= far) & (far > tmin_v) & (near < best_t)
 
-    def body(j, carry):
-        best_t, best_prim, best_u, best_v = carry
-        # scalar loads from SMEM: SREG -> vector broadcasts are native,
-        # unlike VMEM (1,1) -> (rows,128) vector broadcasts, which Mosaic
-        # rejects ("Broadcast in both sublanes and lanes")
-        def col(c):
-            return tris_ref[j, c]
+        def body(j, carry):
+            best_t, best_prim, best_u, best_v = carry
+            # scalar loads from SMEM: SREG -> vector broadcasts are native,
+            # unlike VMEM (1,1) -> (rows,128) vector broadcasts
+            def col(c):
+                return tris_ref[j, c]
 
-        v0x, v0y, v0z = col(0), col(1), col(2)
-        e1x, e1y, e1z = col(3), col(4), col(5)
-        e2x, e2y, e2z = col(6), col(7), col(8)
+            v0x, v0y, v0z = col(0), col(1), col(2)
+            e1x, e1y, e1z = col(3), col(4), col(5)
+            e2x, e2y, e2z = col(6), col(7), col(8)
 
-        # Moller-Trumbore, one scalar triangle vs the whole ray tile
-        pvx = d_y * e2z - d_z * e2y
-        pvy = d_z * e2x - d_x * e2z
-        pvz = d_x * e2y - d_y * e2x
-        det = e1x * pvx + e1y * pvy + e1z * pvz
-        ok_det = jnp.abs(det) > _DET_EPS
-        inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
-        tvx = o_x - v0x
-        tvy = o_y - v0y
-        tvz = o_z - v0z
-        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-        qvx = tvy * e1z - tvz * e1y
-        qvy = tvz * e1x - tvx * e1z
-        qvz = tvx * e1y - tvy * e1x
-        v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv_det
-        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-        ok = (
-            ok_det
-            & (u >= 0.0)
-            & (v >= 0.0)
-            & (u + v <= 1.0)
-            & (t > tmin_v)
-            & (t < best_t)
+            # Moller-Trumbore, one scalar triangle vs the whole ray tile
+            pvx = d_y * e2z - d_z * e2y
+            pvy = d_z * e2x - d_x * e2z
+            pvz = d_x * e2y - d_y * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            ok_det = jnp.abs(det) > _DET_EPS
+            inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
+            tvx = o_x - v0x
+            tvy = o_y - v0y
+            tvz = o_z - v0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv_det
+            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            ok = (
+                ok_det
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > tmin_v)
+                & (t < best_t)
+            )
+            jf = col(9)
+            if any_hit:
+                # first-hit exit (ref TERMINATE_ON_FIRST_HIT,
+                # RayFunctions.cuh:81-83): poison best-t so every later
+                # slab test culls this lane
+                return (
+                    jnp.where(ok, _DEAD, best_t),
+                    jnp.where(ok, jf, best_prim),
+                    best_u,
+                    best_v,
+                )
+            return (
+                jnp.where(ok, t, best_t),
+                jnp.where(ok, jf, best_prim),
+                jnp.where(ok, u, best_u),
+                jnp.where(ok, v, best_v),
+            )
+
+        def sub_body(si, carry):
+            # slab test of the sub-run AABB against the whole tile; skip
+            # the SUB-triangle run when no lane can improve inside it
+            enter = slab(sub_ref[si, 0], sub_ref[si, 1], sub_ref[si, 2],
+                         sub_ref[si, 3], sub_ref[si, 4], sub_ref[si, 5],
+                         carry[0])
+
+            def run(c):
+                return jax.lax.fori_loop(si * SUB, si * SUB + SUB, body, c)
+
+            return jax.lax.cond(jnp.any(enter), run, lambda c: c, carry)
+
+        carry = (t_ref[...], prim_ref[...], u_ref[...], v_ref[...])
+        # level-1 cull: whole 512-triangle window vs the tile
+        centered = slab(
+            chunk_ref[chunk_id, 0], chunk_ref[chunk_id, 1],
+            chunk_ref[chunk_id, 2], chunk_ref[chunk_id, 3],
+            chunk_ref[chunk_id, 4], chunk_ref[chunk_id, 5], carry[0],
         )
-        jf = col(9)
-        return (
-            jnp.where(ok, t, best_t),
-            jnp.where(ok, jf, best_prim),
-            jnp.where(ok, u, best_u),
-            jnp.where(ok, v, best_v),
+
+        def run_chunk(c):
+            return jax.lax.fori_loop(0, TRI_CHUNK // SUB, sub_body, c)
+
+        best_t, best_prim, best_u, best_v = jax.lax.cond(
+            jnp.any(centered), run_chunk, lambda c: c, carry
         )
+        t_ref[...] = best_t
+        prim_ref[...] = best_prim
+        u_ref[...] = best_u
+        v_ref[...] = best_v
 
-    def sub_body(si, carry):
-        # slab test of the sub-chunk AABB against the whole tile; skip the
-        # SUB-triangle run when no lane can improve its hit inside it
-        bx0, by0, bz0 = sub_ref[si, 0], sub_ref[si, 1], sub_ref[si, 2]
-        bx1, by1, bz1 = sub_ref[si, 3], sub_ref[si, 4], sub_ref[si, 5]
-        t1x = (bx0 - o_x) * ivx
-        t2x = (bx1 - o_x) * ivx
-        t1y = (by0 - o_y) * ivy
-        t2y = (by1 - o_y) * ivy
-        t1z = (bz0 - o_z) * ivz
-        t2z = (bz1 - o_z) * ivz
-        near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
-                                       jnp.minimum(t1y, t2y)),
-                           jnp.minimum(t1z, t2z))
-        far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
-                                      jnp.maximum(t1y, t2y)),
-                          jnp.maximum(t1z, t2z))
-        best_t = carry[0]
-        enter = (near <= far) & (far > tmin_v) & (near < best_t)
-
-        def run(c):
-            return jax.lax.fori_loop(si * SUB, si * SUB + SUB, body, c)
-
-        return jax.lax.cond(jnp.any(enter), run, lambda c: c, carry)
-
-    best_t, best_prim, best_u, best_v = jax.lax.fori_loop(
-        0, TRI_CHUNK // SUB, sub_body,
-        (best_t, best_prim, best_u, best_v),
-    )
-    t_ref[...] = best_t
-    prim_ref[...] = best_prim
-    u_ref[...] = best_u
-    v_ref[...] = best_v
+    return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _trace(tri_table, sub_aabbs, origin, direction, tmin, tmax,
-           interpret=False):
+_kernel_closest = _make_kernel(any_hit=False)
+_kernel_any = _make_kernel(any_hit=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "any_hit"))
+def _trace(tri_table, sub_aabbs, chunk_aabbs, origin, direction, tmin, tmax,
+           interpret=False, any_hit=False):
     num_tris = tri_table.shape[0]
     r = origin.shape[0]
     block = BLOCK_ROWS * _LANES
@@ -238,15 +284,16 @@ def _trace(tri_table, sub_aabbs, origin, direction, tmin, tmax,
                             memory_space=pltpu.SMEM)
     sub_spec = pl.BlockSpec((TRI_CHUNK // SUB, 8), lambda i, c: (c, 0),
                             memory_space=pltpu.SMEM)
+    chunk_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
     t, prim, u, v = pl.pallas_call(
-        _kernel,
+        _kernel_any if any_hit else _kernel_closest,
         grid=grid,
-        in_specs=(tri_spec, sub_spec) + (ray_spec,) * 8,
+        in_specs=(tri_spec, sub_spec, chunk_spec) + (ray_spec,) * 8,
         out_specs=(ray_spec,) * 4,
         out_shape=(out_shape,) * 4,
         interpret=interpret,
-    )(tri_table, sub_aabbs, *ray_ins)
+    )(tri_table, sub_aabbs, chunk_aabbs, *ray_ins)
 
     def unplane(x):
         return x.reshape(rp)[:r]
@@ -254,8 +301,21 @@ def _trace(tri_table, sub_aabbs, origin, direction, tmin, tmax,
     return unplane(t), unplane(prim), unplane(u), unplane(v)
 
 
+def _flatten(origin, direction, tmin, tmax):
+    import math as _math
+
+    batch = jnp.broadcast_shapes(origin.shape[:-1], jnp.shape(tmin),
+                                 jnp.shape(tmax))
+    flat = (_math.prod(batch),) if batch else (1,)
+    origin = jnp.broadcast_to(origin, batch + (3,)).reshape(flat + (3,))
+    direction = jnp.broadcast_to(direction, batch + (3,)).reshape(flat + (3,))
+    tmin_f = jnp.broadcast_to(tmin, batch).reshape(flat).astype(jnp.float32)
+    tmax_f = jnp.broadcast_to(tmax, batch).reshape(flat).astype(jnp.float32)
+    return batch, origin, direction, tmin_f, tmax_f
+
+
 def trace_closest_pallas(
-    tri_table,  # (table, sub_aabbs) from pack_tri_table
+    tri_table,  # (table, sub_aabbs, chunk_aabbs) from pack_tri_table
     origin: jax.Array,  # (..., 3)
     direction: jax.Array,  # (..., 3)
     tmin: jax.Array,
@@ -266,17 +326,10 @@ def trace_closest_pallas(
     only). ``tri_table`` comes from :func:`pack_tri_table`."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    batch = jnp.broadcast_shapes(origin.shape[:-1], jnp.shape(tmin),
-                                 jnp.shape(tmax))
-    import math as _math
-
-    flat = (_math.prod(batch),) if batch else (1,)
-    origin = jnp.broadcast_to(origin, batch + (3,)).reshape(flat + (3,))
-    direction = jnp.broadcast_to(direction, batch + (3,)).reshape(flat + (3,))
-    tmin_f = jnp.broadcast_to(tmin, batch).reshape(flat).astype(jnp.float32)
-    tmax_f = jnp.broadcast_to(tmax, batch).reshape(flat).astype(jnp.float32)
-    table, sub_aabbs = tri_table
-    t, prim, u, v = _trace(table, sub_aabbs, origin, direction,
+    batch, origin, direction, tmin_f, tmax_f = _flatten(
+        origin, direction, tmin, tmax)
+    table, sub_aabbs, chunk_aabbs = tri_table
+    t, prim, u, v = _trace(table, sub_aabbs, chunk_aabbs, origin, direction,
                            tmin_f, tmax_f, interpret=interpret)
     prim_i = prim.astype(jnp.int32)
     hit = prim_i >= 0
@@ -291,7 +344,13 @@ def trace_closest_pallas(
 
 def trace_any_pallas(tri_table, origin, direction, tmin, tmax,
                      interpret=None) -> jax.Array:
-    """Occlusion query via the closest-hit kernel (same accept window)."""
-    return trace_closest_pallas(
-        tri_table, origin, direction, tmin, tmax, interpret=interpret
-    ).hit
+    """Occlusion query with first-hit early exit (same accept window as
+    closest-hit; only the boolean is meaningful)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, origin, direction, tmin_f, tmax_f = _flatten(
+        origin, direction, tmin, tmax)
+    table, sub_aabbs, chunk_aabbs = tri_table
+    _, prim, _, _ = _trace(table, sub_aabbs, chunk_aabbs, origin, direction,
+                           tmin_f, tmax_f, interpret=interpret, any_hit=True)
+    return (prim.astype(jnp.int32) >= 0).reshape(batch)

@@ -1,0 +1,553 @@
+"""Fused whole-path Pallas mega-kernel: the entire camera render — trace,
+shade, environment, BRDF sampling, bounce — as ONE kernel execution.
+
+Round-1 measured the frame cost split on the tunneled v5e: ~45 ms/segment
+of Pallas trace (ops/pallas_brute.py) plus ~400 ms of XLA shading dispatch
+per 1080p 8-bounce frame, with 77% of lane-trace work spent on dead lanes
+(only ~4.3M of 18.6M lane-segments are live). This kernel removes both
+costs at once:
+
+* The segment (bounce) loop becomes a GRID AXIS: grid = (ray tiles,
+  path segments, triangle chunks). Per-ray path state (origin, direction,
+  throughput, radiance, RNG, AOVs) persists in VMEM scratch across grid
+  steps — scratch survives the whole sweep of one ray tile, and every
+  tile re-initializes at its (segment 0, chunk 0) step.
+* Shading runs inside the kernel at each segment's last chunk as planar
+  vector ops; the XLA per-segment dispatch chain disappears.
+* A tile whose lanes are all dead skips every remaining body via
+  ``@pl.when`` on an SMEM liveness scalar (measured ~2 us per skipped
+  grid step vs ~180 us for a live trace step).
+* Triangle + shading data ride in an SMEM-windowed table (scalar loads
+  broadcast natively against the ray tile; VMEM dynamic scalar loads
+  measured ~3x slower, and DMA into SMEM scratch crashes this
+  toolchain's Mosaic backend, so BlockSpec windowing is the only fill
+  path). Hit attributes are interpolated *during* the triangle loop — on
+  an accepted hit the triangle's corner normals blend into VMEM
+  best-hit planes via read-modify-write under the accept mask, which
+  keeps the loop carry to a single plane (a 10-plane carry measured 8x
+  slower from register spills). Material constants resolve at shade time
+  from a per-tile material-id plane via a short static loop over the
+  scene's (small) material table.
+
+Semantics match models/pathtracer.py::_segment for the statically
+specializable feature set (the same set the reference specializes SBT
+programs for): triangle-only scene, MaterialType::Default without
+textures / BTF / subsurface / alpha cutout, Scene environment with flat
+color (no cubemap). The renderer dispatches here when the compiled scene
+and RenderConfig qualify, else falls back to the general wavefront engine.
+
+Reference semantics reproduced (file:line cites into /root/reference):
+ray loop + accumulation ptx/CameraRendering.cu:32-147; path step
+RayFunctions.cuh:25-171 (emission :168-171, energy recurrence :152-161,
+first-hit AOVs :163-167); BRDF cone sample BSDF.cuh:6-13; miss radiance
+Environment.cuh:147-175 (Scene branch, flat color); RNG
+LinearCongruenceGenerator.hpp:28-33 (24-bit LCG; the TEA init runs in XLA
+before the kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# ray tile = (BLOCK_ROWS, 128) lanes
+BLOCK_ROWS = int(os.environ.get("RTF_TPU_FUSED_ROWS", "64"))
+# triangles per SMEM window (rows x 20 cols; SMEM is 1 MB at 32 B/scalar
+# with double-buffered windows, so 512x20 x2 buffers = ~655 KB is the fit)
+TRI_CHUNK = int(os.environ.get("RTF_TPU_FUSED_CHUNK", "512"))
+# triangles per cullable sub-chunk (Morton-ordered runs); TRI_CHUNK/SUB
+# must be a multiple of 8 (TPU block-shape rule for the sub-AABB window)
+SUB = int(os.environ.get("RTF_TPU_FUSED_SUB", "32"))
+_LANES = 128
+_DET_EPS = 1e-12
+_TMAX = 1e20
+_HIT_MAX = 1e19  # b_t below this => real hit
+_DEAD = -3.0e38  # b_t for dead lanes: no AABB can beat it
+_BOUNCE_TMIN = 1e-3
+_MAT_PAD = 8  # material table rows padded to a multiple of this
+
+_COLS = 20
+# table columns: 0:9 v0,e1,e2 | 9 orig prim id | 10:19 n0, n1-n0, n2-n0
+# | 19 material slot (exact small-int float)
+
+_LCG_A = 1664525
+_LCG_C = 1013904223
+_TWO_PI = 6.2831853071795864769
+
+
+def pack_fused_tables(compiled):
+    """Build the (N, 20) SMEM trace+shade table, the (N/SUB, 8) sub-chunk
+    AABBs and the (M, 8) material constant table from a CompiledScene.
+    Morton-orders triangles so SUB-sized runs are spatially compact; pads
+    to a TRI_CHUNK multiple with degenerate triangles under inverted
+    AABBs. Returns (table, sub_aabbs, mat_table)."""
+    from raytracerfacility_tpu.ops.bvh import morton_codes
+
+    g = compiled.geometry
+    v0, e1, e2 = g.v0, g.e1, g.e2
+    n = v0.shape[0]
+    centroid = v0 + (e1 + e2) / 3.0
+    lo = jnp.min(jnp.minimum(v0, jnp.minimum(v0 + e1, v0 + e2)), axis=0)
+    hi = jnp.max(jnp.maximum(v0, jnp.maximum(v0 + e1, v0 + e2)), axis=0)
+    order = jnp.argsort(morton_codes(centroid, lo, hi))
+    v0, e1, e2 = v0[order], e1[order], e2[order]
+    normals = g.normal[order]  # (N, 3 corners, 3)
+    mat = compiled.instance_material[g.instance[order]]
+
+    pad = (-n) % TRI_CHUNK
+    table = jnp.zeros((n + pad, _COLS), jnp.float32)
+    table = table.at[:n, 0:3].set(v0)
+    table = table.at[:n, 3:6].set(e1)
+    table = table.at[:n, 6:9].set(e2)
+    table = table.at[:n, 9].set(order.astype(jnp.float32))
+    n0 = normals[:, 0, :]
+    table = table.at[:n, 10:13].set(n0)
+    table = table.at[:n, 13:16].set(normals[:, 1, :] - n0)
+    table = table.at[:n, 16:19].set(normals[:, 2, :] - n0)
+    table = table.at[:n, 19].set(mat.astype(jnp.float32))
+
+    big = 3.4e38
+    pmin = jnp.minimum(v0, jnp.minimum(v0 + e1, v0 + e2))
+    pmax = jnp.maximum(v0, jnp.maximum(v0 + e1, v0 + e2))
+    pmin = jnp.concatenate([pmin, jnp.full((pad, 3), big, jnp.float32)], axis=0)
+    pmax = jnp.concatenate([pmax, jnp.full((pad, 3), -big, jnp.float32)], axis=0)
+    subs = (n + pad) // SUB
+    sub_aabbs = jnp.zeros((subs, 8), jnp.float32)
+    sub_aabbs = sub_aabbs.at[:, 0:3].set(jnp.min(pmin.reshape(subs, SUB, 3), axis=1))
+    sub_aabbs = sub_aabbs.at[:, 3:6].set(jnp.max(pmax.reshape(subs, SUB, 3), axis=1))
+
+    mats = compiled.materials
+    m = mats.albedo.shape[0]
+    mpad = (-m) % _MAT_PAD
+    mat_table = jnp.zeros((m + mpad, 8), jnp.float32)
+    mat_table = mat_table.at[:m, 0:3].set(mats.albedo)
+    mat_table = mat_table.at[:m, 3].set(mats.roughness)
+    mat_table = mat_table.at[:m, 4].set(mats.metallic)
+    mat_table = mat_table.at[:m, 5].set(mats.emission)
+    return table, sub_aabbs, mat_table
+
+
+def _lcg(s):
+    """One LCG draw on int32 planes (bit-identical to ops/rng.py::lcg_next:
+    int32 wraparound == uint32; the masked low 24 bits are non-negative)."""
+    s = s * _LCG_A + _LCG_C
+    val = (s & 0xFFFFFF).astype(jnp.float32) * (1.0 / 0x1000000)
+    return s, val
+
+
+def _kernel(
+    # SMEM-windowed scene tables + full material table
+    tris, subs, mats,
+    # per-tile ray inputs (VMEM planes)
+    ox, oy, oz, dx, dy, dz, rng0, valid,
+    # SMEM scalars: env radiance rgb
+    envc,
+    # outputs (VMEM planes, revisited per tile)
+    o_rr, o_rg, o_rb, o_nx, o_ny, o_nz, o_ar, o_ag, o_ab,
+    o_px, o_py, o_pz, o_cnt,
+    # scratch: path state
+    s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_rng, s_tmin,
+    s_tr, s_tg, s_tb, s_rr, s_rg, s_rb, s_act, s_hc,
+    s_fnx, s_fny, s_fnz, s_far, s_fag, s_fab, s_fpx, s_fpy, s_fpz,
+    # scratch: per-segment best-hit record
+    b_t, b_nx, b_ny, b_nz, b_mid,
+    # SMEM scratch: [0] = cumulative live count, [1] = live lanes now
+    live,
+    *,
+    bounces: int,
+    num_mats: int,
+):
+    s = pl.program_id(1)
+    c = pl.program_id(2)
+    nseg = pl.num_programs(1)
+    nchunk = pl.num_programs(2)
+
+    @pl.when((s == 0) & (c == 0))
+    def _init_tile():
+        s_ox[...] = ox[...]
+        s_oy[...] = oy[...]
+        s_oz[...] = oz[...]
+        s_dx[...] = dx[...]
+        s_dy[...] = dy[...]
+        s_dz[...] = dz[...]
+        s_rng[...] = rng0[...]
+        zero = jnp.zeros_like(ox[...])
+        one = zero + 1.0
+        s_tmin[...] = zero
+        s_tr[...] = one
+        s_tg[...] = one
+        s_tb[...] = one
+        s_rr[...] = zero
+        s_rg[...] = zero
+        s_rb[...] = zero
+        s_act[...] = valid[...]
+        s_hc[...] = zero
+        s_fnx[...] = zero
+        s_fny[...] = zero
+        s_fnz[...] = zero
+        s_far[...] = zero
+        s_fag[...] = zero
+        s_fab[...] = zero
+        # ref CameraRendering.cu:48 "no hit" position sentinel
+        s_fpx[...] = zero + 999999.0
+        s_fpy[...] = zero + 999999.0
+        s_fpz[...] = zero + 999999.0
+        b_nx[...] = zero
+        b_ny[...] = zero
+        b_nz[...] = zero
+        b_mid[...] = zero
+        live[0] = 0.0
+        live[1] = jnp.sum(valid[...])
+
+    any_live = live[1] > 0.0
+
+    @pl.when((c == 0) & any_live)
+    def _segment_start():
+        live[0] = live[0] + jnp.sum(s_act[...])
+        # dead lanes get an unbeatable best-t so no AABB admits them
+        b_t[...] = jnp.where(s_act[...] > 0.0, _TMAX, _DEAD)
+
+    @pl.when(any_live)
+    def _trace_chunk():
+        o_x, o_y, o_z = s_ox[...], s_oy[...], s_oz[...]
+        d_x, d_y, d_z = s_dx[...], s_dy[...], s_dz[...]
+        tmin_v = s_tmin[...]
+        eps = 1e-20
+        ivx = 1.0 / jnp.where(jnp.abs(d_x) < eps,
+                              jnp.where(d_x < 0, -eps, eps), d_x)
+        ivy = 1.0 / jnp.where(jnp.abs(d_y) < eps,
+                              jnp.where(d_y < 0, -eps, eps), d_y)
+        ivz = 1.0 / jnp.where(jnp.abs(d_z) < eps,
+                              jnp.where(d_z < 0, -eps, eps), d_z)
+
+        def tri_body(j, carry):
+            bt, nx, ny, nz, mid = carry
+            v0x, v0y, v0z = tris[j, 0], tris[j, 1], tris[j, 2]
+            e1x, e1y, e1z = tris[j, 3], tris[j, 4], tris[j, 5]
+            e2x, e2y, e2z = tris[j, 6], tris[j, 7], tris[j, 8]
+            # Moller-Trumbore: one scalar triangle vs the whole tile
+            # (accept window identical to ops/intersect.py:moller_trumbore)
+            pvx = d_y * e2z - d_z * e2y
+            pvy = d_z * e2x - d_x * e2z
+            pvz = d_x * e2y - d_y * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            ok_det = jnp.abs(det) > _DET_EPS
+            inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
+            tvx = o_x - v0x
+            tvy = o_y - v0y
+            tvz = o_z - v0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv_det
+            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            ok = (
+                ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > tmin_v) & (t < bt)
+            )
+            # interpolate-on-improve: blend this triangle's corner normals
+            # + material id into the best-hit record under the accept mask.
+            # The record rides the loop CARRY (registers); per-triangle
+            # VMEM read-modify-writes of the same planes measured 4x the
+            # whole trace cost.
+            return (
+                jnp.where(ok, t, bt),
+                jnp.where(ok, tris[j, 10] + u * tris[j, 13] + v * tris[j, 16], nx),
+                jnp.where(ok, tris[j, 11] + u * tris[j, 14] + v * tris[j, 17], ny),
+                jnp.where(ok, tris[j, 12] + u * tris[j, 15] + v * tris[j, 18], nz),
+                jnp.where(ok, tris[j, 19], mid),
+            )
+
+        def sub_body(si, carry):
+            bt = carry[0]
+            bx0, by0, bz0 = subs[si, 0], subs[si, 1], subs[si, 2]
+            bx1, by1, bz1 = subs[si, 3], subs[si, 4], subs[si, 5]
+            t1x = (bx0 - o_x) * ivx
+            t2x = (bx1 - o_x) * ivx
+            t1y = (by0 - o_y) * ivy
+            t2y = (by1 - o_y) * ivy
+            t1z = (bz0 - o_z) * ivz
+            t2z = (bz1 - o_z) * ivz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                           jnp.minimum(t1y, t2y)),
+                               jnp.minimum(t1z, t2z))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                          jnp.maximum(t1y, t2y)),
+                              jnp.maximum(t1z, t2z))
+            enter = (near <= far) & (far > tmin_v) & (near < bt)
+
+            def run(b):
+                return jax.lax.fori_loop(si * SUB, si * SUB + SUB, tri_body, b)
+
+            return jax.lax.cond(jnp.any(enter), run, lambda b: b, carry)
+
+        carry = (b_t[...], b_nx[...], b_ny[...], b_nz[...], b_mid[...])
+        carry = jax.lax.fori_loop(0, TRI_CHUNK // SUB, sub_body, carry)
+        b_t[...] = carry[0]
+        b_nx[...] = carry[1]
+        b_ny[...] = carry[2]
+        b_nz[...] = carry[3]
+        b_mid[...] = carry[4]
+
+    @pl.when((c == nchunk - 1) & any_live)
+    def _shade():
+        act = s_act[...] > 0.0
+        bt = b_t[...]
+        hitm = act & (bt < _HIT_MAX)
+        missm = act & ~(bt < _HIT_MAX)
+        tr, tg, tb = s_tr[...], s_tg[...], s_tb[...]
+        rr, rg, rb = s_rr[...], s_rg[...], s_rb[...]
+        hc = s_hc[...]
+
+        # ---- miss: flat Scene environment (ref Environment.cuh:158-162,
+        # MissFunc RayFunctions.cuh:260-272); env rgb is pre-gamma'd in XLA
+        er, eg, eb = envc[0], envc[1], envc[2]
+        rr = jnp.where(missm, rr + tr * er, rr)
+        rg = jnp.where(missm, rg + tg * eg, rg)
+        rb = jnp.where(missm, rb + tb * eb, rb)
+        pm = missm & (hc == 0.0)
+        far_, fag_, fab_ = s_far[...], s_fag[...], s_fab[...]
+        far_ = jnp.where(pm, er, far_)
+        fag_ = jnp.where(pm, eg, fag_)
+        fab_ = jnp.where(pm, eb, fab_)
+
+        # ---- material constants via a short static loop over the (small)
+        # material table (the SBT dispatch equivalent; no per-lane gather)
+        mid = b_mid[...]
+        ar = jnp.zeros_like(mid)
+        ag = jnp.zeros_like(mid)
+        ab = jnp.zeros_like(mid)
+        ro = jnp.zeros_like(mid)
+        me = jnp.zeros_like(mid)
+        em = jnp.zeros_like(mid)
+        for k in range(num_mats):
+            is_k = mid == float(k)
+            ar = jnp.where(is_k, mats[k, 0], ar)
+            ag = jnp.where(is_k, mats[k, 1], ag)
+            ab = jnp.where(is_k, mats[k, 2], ab)
+            ro = jnp.where(is_k, mats[k, 3], ro)
+            me = jnp.where(is_k, mats[k, 4], me)
+            em = jnp.where(is_k, mats[k, 5], em)
+
+        # ---- hit: normalize + flip interpolated normal
+        # (ref RayDataDefinations.hpp:364-382)
+        nx, ny, nz = b_nx[...], b_ny[...], b_nz[...]
+        inv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+        nx, ny, nz = nx * inv, ny * inv, nz * inv
+        d_x, d_y, d_z = s_dx[...], s_dy[...], s_dz[...]
+        dp = d_x * nx + d_y * ny + d_z * nz
+        flip = dp > 0.0
+        nx = jnp.where(flip, -nx, nx)
+        ny = jnp.where(flip, -ny, ny)
+        nz = jnp.where(flip, -nz, nz)
+
+        # ---- emission (ref RayFunctions.cuh:168-171)
+        rr = jnp.where(hitm, rr + tr * em * ar, rr)
+        rg = jnp.where(hitm, rg + tg * em * ag, rg)
+        rb = jnp.where(hitm, rb + tb * em * ab, rb)
+
+        # ---- first-hit AOVs (ref RayFunctions.cuh:163-167)
+        first = hitm & (hc == 0.0)
+        o_x, o_y, o_z = s_ox[...], s_oy[...], s_oz[...]
+        hx = o_x + bt * d_x
+        hy = o_y + bt * d_y
+        hz = o_z + bt * d_z
+        s_fnx[...] = jnp.where(first, nx, s_fnx[...])
+        s_fny[...] = jnp.where(first, ny, s_fny[...])
+        s_fnz[...] = jnp.where(first, nz, s_fnz[...])
+        far_ = jnp.where(first, ar, far_)
+        fag_ = jnp.where(first, ag, fag_)
+        fab_ = jnp.where(first, ab, fab_)
+        s_far[...] = far_
+        s_fag[...] = fag_
+        s_fab[...] = fab_
+        s_fpx[...] = jnp.where(first, hx, s_fpx[...])
+        s_fpy[...] = jnp.where(first, hy, s_fpy[...])
+        s_fpz[...] = jnp.where(first, hz, s_fpz[...])
+
+        new_hc = jnp.where(hitm, hc + 1.0, hc)
+        cont = hitm & (new_hc <= float(bounces))
+
+        # ---- BRDF cone sample around the reflected direction
+        # (ref BSDF.cuh:6-13; draw order matches math3d.sample_hemisphere).
+        # Reflect about the *flipped* normal, like the XLA path.
+        dpf = d_x * nx + d_y * ny + d_z * nz
+        rx = d_x - 2.0 * dpf * nx
+        ry = d_y - 2.0 * dpf * ny
+        rz = d_z - 2.0 * dpf * nz
+        rng = s_rng[...]
+        rng2, u_cos = _lcg(rng)
+        rng2, u_phi = _lcg(rng2)
+        one_minus = 1.0 - me
+        cos_t = 1.0 - u_cos * one_minus * one_minus
+        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+        phi = _TWO_PI * u_phi
+        lx = jnp.cos(phi) * sin_t
+        ly = jnp.sin(phi) * sin_t
+        lz = cos_t
+        # tangent frame around the reflected dir (RayTracerUtilities.cuh:110-120)
+        use_z = jnp.abs(rx) > 0.99
+        hx_ = jnp.where(use_z, 0.0, 1.0)
+        hz_ = jnp.where(use_z, 1.0, 0.0)
+        tx = ry * hz_
+        ty = rz * hx_ - rx * hz_
+        tz = -ry * hx_
+        tinv = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-20))
+        tx, ty, tz = tx * tinv, ty * tinv, tz * tinv
+        bx = ry * tz - rz * ty
+        by = rz * tx - rx * tz
+        bz = rx * ty - ry * tx
+        binv = jax.lax.rsqrt(jnp.maximum(bx * bx + by * by + bz * bz, 1e-20))
+        bx, by, bz = bx * binv, by * binv, bz * binv
+        ndx = tx * lx + bx * ly + rx * lz
+        ndy = ty * lx + by * ly + ry * lz
+        ndz = tz * lx + bz * ly + rz * lz
+
+        # ---- energy weight (ref RayFunctions.cuh:152-161)
+        f = jnp.where(me >= 0.0, (me + 2.0) / (me + 1.0), 1.0)
+        ndotl = jnp.abs(nx * ndx + ny * ndy + nz * ndz)
+        w = jnp.clip(ndotl * ro + (1.0 - ro) * f, 0.0, 1.0)
+
+        s_tr[...] = jnp.where(cont, tr * ar * w, tr)
+        s_tg[...] = jnp.where(cont, tg * ag * w, tg)
+        s_tb[...] = jnp.where(cont, tb * ab * w, tb)
+        s_ox[...] = jnp.where(cont, hx, o_x)
+        s_oy[...] = jnp.where(cont, hy, o_y)
+        s_oz[...] = jnp.where(cont, hz, o_z)
+        s_dx[...] = jnp.where(cont, ndx, d_x)
+        s_dy[...] = jnp.where(cont, ndy, d_y)
+        s_dz[...] = jnp.where(cont, ndz, d_z)
+        s_tmin[...] = jnp.where(cont, _BOUNCE_TMIN, s_tmin[...])
+        s_rng[...] = jnp.where(cont, rng2, rng)
+        s_rr[...] = rr
+        s_rg[...] = rg
+        s_rb[...] = rb
+        s_hc[...] = new_hc
+        new_act = cont.astype(jnp.float32)
+        s_act[...] = new_act
+        live[1] = jnp.sum(new_act)
+
+    @pl.when((s == nseg - 1) & (c == nchunk - 1))
+    def _write_outputs():
+        o_rr[...] = s_rr[...]
+        o_rg[...] = s_rg[...]
+        o_rb[...] = s_rb[...]
+        o_nx[...] = s_fnx[...]
+        o_ny[...] = s_fny[...]
+        o_nz[...] = s_fnz[...]
+        o_ar[...] = s_far[...]
+        o_ag[...] = s_fag[...]
+        o_ab[...] = s_fab[...]
+        o_px[...] = s_fpx[...]
+        o_py[...] = s_fpy[...]
+        o_pz[...] = s_fpz[...]
+        # per-tile live-ray total in lane [0, 0] of a zero plane (a 1-wide
+        # SMEM output block violates the TPU block-shape rules; .at[].set
+        # lowers to an unsupported scatter, so mask with iota instead)
+        shape = s_rr[...].shape
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        first_el = (rows_i == 0) & (cols_i == 0)
+        o_cnt[...] = jnp.where(first_el, live[0], 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bounces", "interpret")
+)
+def _render_pool(table, sub_aabbs, mat_table, origin, direction, rng, valid,
+                 env_rgb, bounces: int, interpret: bool = False):
+    """Run the mega-kernel over a flat ray pool.
+
+    origin/direction (R,3) f32, rng (R,) uint32, valid (R,) f32 in {0,1}.
+    Returns (radiance (R,3), first_normal, first_albedo, first_position,
+    live_ray_count ())."""
+    r = origin.shape[0]
+    block = BLOCK_ROWS * _LANES
+    pad = (-r) % block
+    if pad:
+        origin = jnp.concatenate([origin, jnp.zeros((pad, 3), jnp.float32)], 0)
+        direction = jnp.concatenate(
+            [direction,
+             jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (pad, 1))], 0)
+        rng = jnp.concatenate([rng, jnp.zeros((pad,), jnp.uint32)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), jnp.float32)])
+    rp = r + pad
+    rows = rp // _LANES
+    tiles = rows // BLOCK_ROWS
+
+    def plane(x):
+        return x.reshape(rows, _LANES)
+
+    rng_i = jax.lax.bitcast_convert_type(rng, jnp.int32)
+    ray_ins = (
+        plane(origin[:, 0]), plane(origin[:, 1]), plane(origin[:, 2]),
+        plane(direction[:, 0]), plane(direction[:, 1]), plane(direction[:, 2]),
+        plane(rng_i), plane(valid),
+    )
+
+    nseg = bounces + 1
+    nchunk = table.shape[0] // TRI_CHUNK
+    grid = (tiles, nseg, nchunk)
+
+    ray_spec = pl.BlockSpec((BLOCK_ROWS, _LANES), lambda i, s, c: (i, 0))
+    tri_spec = pl.BlockSpec((TRI_CHUNK, _COLS), lambda i, s, c: (c, 0),
+                            memory_space=pltpu.SMEM)
+    sub_spec = pl.BlockSpec((TRI_CHUNK // SUB, 8), lambda i, s, c: (c, 0),
+                            memory_space=pltpu.SMEM)
+    mat_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    env_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    plane_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    scratch_plane = pltpu.VMEM((BLOCK_ROWS, _LANES), jnp.float32)
+    scratch = [scratch_plane] * 6 + [
+        pltpu.VMEM((BLOCK_ROWS, _LANES), jnp.int32)  # s_rng
+    ] + [scratch_plane] * 18 + [scratch_plane] * 5 + [
+        pltpu.SMEM((2,), jnp.float32)
+    ]
+
+    kernel = functools.partial(_kernel, bounces=bounces,
+                               num_mats=int(mat_table.shape[0]))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=(tri_spec, sub_spec, mat_spec) + (ray_spec,) * 6
+        + (pl.BlockSpec((BLOCK_ROWS, _LANES), lambda i, s, c: (i, 0)),)
+        + (ray_spec,) + (env_spec,),
+        out_specs=(ray_spec,) * 13,
+        out_shape=(plane_shape,) * 13,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(table, sub_aabbs, mat_table, *ray_ins, env_rgb)
+
+    def unplane3(a, b, c):
+        return jnp.stack(
+            [a.reshape(rp)[:r], b.reshape(rp)[:r], c.reshape(rp)[:r]], axis=-1
+        )
+
+    radiance = unplane3(*outs[0:3])
+    normal = unplane3(*outs[3:6])
+    albedo = unplane3(*outs[6:9])
+    position = unplane3(*outs[9:12])
+    count = jnp.sum(outs[12])
+    return radiance, normal, albedo, position, count
+
+
+def render_pool_fused(
+    tables, origin, direction, rng, valid, env_rgb, bounces: int,
+    interpret: bool | None = None,
+):
+    """Public entry: ``tables`` from :func:`pack_fused_tables`."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    table, sub_aabbs, mat_table = tables
+    return _render_pool(
+        table, sub_aabbs, mat_table, origin, direction, rng, valid, env_rgb,
+        bounces=bounces, interpret=bool(interpret),
+    )

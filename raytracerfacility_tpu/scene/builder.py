@@ -488,7 +488,7 @@ def build_compiled_scene(
 
             pallas_tris = pack_tri_table(geometry.v0, geometry.e1, geometry.e2)
 
-    return CompiledScene(
+    compiled = CompiledScene(
         geometry=geometry,
         materials=materials,
         instance_material=jnp.asarray(inst_material, jnp.int32),
@@ -497,3 +497,42 @@ def build_compiled_scene(
         bvh=bvh,
         pallas_tris=pallas_tris,
     )
+
+    # Fused whole-path mega-kernel tables (ops/pallas_fused.py): eligible
+    # when every shading feature can be specialized away statically —
+    # triangle-only geometry, Default materials, no textures / BTF /
+    # subsurface. The renderer additionally checks the per-render config
+    # (Scene lighting, no cubemap, no alpha test) before dispatching.
+    if not has_curves:
+        import os as _os
+
+        import jax as _jax
+
+        flag = _os.environ.get("RTF_TPU_FUSED")
+        enabled = (_jax.default_backend() == "tpu") if flag is None else flag == "1"
+        eligible = btf_table is None and all(
+            m["material_type"] == 0
+            and m["albedo_tex"] < 0
+            and m["normal_tex"] < 0
+            and m["metallic_tex"] < 0
+            and m["roughness_tex"] < 0
+            and float(m["subsurface_factor"]) <= 0.0
+            for m in mat_list
+        )
+        if enabled and eligible:
+            from raytracerfacility_tpu.ops.pallas_fused import pack_fused_tables
+
+            compiled = compiled.replace(fused=pack_fused_tables(compiled))
+
+            # MXU matmul-trace variant: opt-in only. Measured on the v5e:
+            # in-kernel dot_general carries a ~50 us fixed cost regardless
+            # of shape, which makes the per-chunk matmuls lose to the
+            # scalar-broadcast loop at every scene size tried.
+            if _os.environ.get("RTF_TPU_MT") == "1":
+                from raytracerfacility_tpu.ops import pallas_mt
+
+                if num_tris <= pallas_mt.MAX_TRIS:
+                    compiled = compiled.replace(
+                        fused_mt=pallas_mt.pack_mt_tables(compiled))
+
+    return compiled

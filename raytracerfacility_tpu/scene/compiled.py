@@ -81,6 +81,14 @@ class CompiledScene:
     # (N, 9) f32 SMEM triangle table for the Pallas brute-trace mega-kernel
     # (ops/pallas_brute.py); None when disabled or when the scene has curves
     pallas_tris: object | None = None
+    # (table, sub_aabbs, mat_table) for the fused whole-path mega-kernel
+    # (ops/pallas_fused.py); None when the scene uses features the fused
+    # path cannot specialize (curves, textures, BTF, subsurface, non-Default
+    # materials)
+    fused: object | None = None
+    # (A, shadeT, sub_aabbs, mat_table) for the MXU matmul-trace variant
+    # (ops/pallas_mt.py); same eligibility plus a triangle-count cap
+    fused_mt: object | None = None
 
     @property
     def num_instances(self) -> int:
