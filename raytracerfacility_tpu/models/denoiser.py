@@ -126,6 +126,39 @@ class Denoiser:
             return (1.0 - strength) / frame_id
         return 1.0 - strength
 
+    def save(self, path: str) -> None:
+        """Checkpoint params as an npz of '/'-joined flax dict paths."""
+        from flax.traverse_util import flatten_dict
+
+        assert self.params is not None
+        flat = flatten_dict(self.params, sep="/")
+        np.savez_compressed(path, **{k: np.asarray(v) for k, v in flat.items()})
+
+    def load(self, path: str) -> "Denoiser":
+        from flax.traverse_util import unflatten_dict
+
+        z = np.load(path)
+        flat = {k: jnp.asarray(z[k]) for k in z.files}
+        self.params = unflatten_dict(flat, sep="/")
+        return self
+
+
+_WEIGHTS_BASENAME = "denoiser_weights.npz"
+
+
+def default_denoiser() -> Denoiser | None:
+    """The packaged pretrained denoiser (the counterpart of the OptiX
+    denoiser's built-in weights): trained by scripts/train_denoiser.py on
+    (1-spp, 64-spp) pairs rendered by this framework. Returns None when no
+    checkpoint ships (the renderer then skips denoising)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), _WEIGHTS_BASENAME)
+    if not os.path.exists(path):
+        return None
+    d = Denoiser()
+    return d.load(path)
+
 
 # --------------------------------------------------------------------------
 # training

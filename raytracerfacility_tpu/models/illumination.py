@@ -116,7 +116,9 @@ def estimate_illumination(
     face_idx = jnp.arange(2, dtype=jnp.uint32)[None, :, None]
     sample_idx = jnp.arange(s, dtype=jnp.uint32)[None, None, :]
     ray_id = probe_idx * (2 * s) + face_idx * s + sample_idx
-    rng = lcg_init(ray_id, jnp.uint32(seed))
+    # seed is a DYNAMIC value: re-estimating with a new seed (the normal
+    # usage pattern) must not recompile
+    rng = lcg_init(ray_id, jnp.asarray(seed, jnp.uint32))
 
     # uniform barycentric coords — NOT folded into the triangle, exactly like
     # the reference (IlluminationEstimation.cu:56-60 draws two raw uniforms)
@@ -171,7 +173,7 @@ def estimate_illumination(
 
 estimate_illumination_jit = jax.jit(
     estimate_illumination,
-    static_argnames=("config", "seed", "push_normal_distance"),
+    static_argnames=("config", "push_normal_distance"),
 )
 
 

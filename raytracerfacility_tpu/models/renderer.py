@@ -106,10 +106,14 @@ class RayTracerCamera:
         self.scene = scene
         self.camera = camera or CameraProperties()
         self.output_type = OutputType.COLOR
-        # optional CNN denoiser (the OptiX denoiser slot,
-        # ref RayTracer.cu:494-557); set to a models.denoiser.Denoiser with
-        # params to enable
-        self.denoiser = None
+        # CNN denoiser (the OptiX denoiser slot, ref RayTracer.cu:494-557):
+        # defaults to the packaged pretrained checkpoint so denoising is on
+        # out of the box whenever denoiser_strength > 0, like the
+        # reference; assign a models.denoiser.Denoiser to override, or
+        # None to disable
+        from raytracerfacility_tpu.models.denoiser import default_denoiser
+
+        self.denoiser = default_denoiser()
         self._frame: FrameBuffers | None = None
         self._last_env: EnvironmentProperties | None = None
         self._last_ray: RayProperties | None = None

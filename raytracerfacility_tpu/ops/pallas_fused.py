@@ -122,7 +122,12 @@ def pack_fused_tables(compiled):
     sub_aabbs = sub_aabbs.at[:, 0:3].set(jnp.min(pmin.reshape(subs, SUB, 3), axis=1))
     sub_aabbs = sub_aabbs.at[:, 3:6].set(jnp.max(pmax.reshape(subs, SUB, 3), axis=1))
 
-    mats = compiled.materials
+    return table, sub_aabbs, pack_material_table(compiled.materials)
+
+
+def pack_material_table(mats):
+    """(M_pad, 8) SMEM material constants. Split out so material-value
+    edits re-pack only this table (incremental rebuilds, scene/builder)."""
     m = mats.albedo.shape[0]
     mpad = (-m) % _MAT_PAD
     mat_table = jnp.zeros((m + mpad, 8), jnp.float32)
@@ -130,7 +135,7 @@ def pack_fused_tables(compiled):
     mat_table = mat_table.at[:m, 3].set(mats.roughness)
     mat_table = mat_table.at[:m, 4].set(mats.metallic)
     mat_table = mat_table.at[:m, 5].set(mats.emission)
-    return table, sub_aabbs, mat_table
+    return mat_table
 
 
 def _lcg(s):

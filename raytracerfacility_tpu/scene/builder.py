@@ -301,8 +301,23 @@ def build_compiled_scene(
     pad_to_multiple: int = 256,
     build_bvh: bool = False,
     leaf_size: int = 4,
+    cache: dict | None = None,
 ) -> CompiledScene:
+    """Compile the scene store. ``cache`` (a dict the caller owns, usually
+    ``RayTracerScene._build_cache``) enables INCREMENTAL rebuilds, the
+    equivalent of the reference rebuilding only dirty GAS and reusing the
+    rest (ref RayTracer.cu:1638-1643; version checks
+    RayTracerLayer.cpp:60,131,193-197):
+
+    * per-instance baked parts are keyed by (geometry key, geometry
+      version, transform bytes) — editing one object re-bakes one part;
+    * the assembled geometry buffers, BVH and Pallas tables are keyed by
+      the whole part-key tuple — material-VALUE edits re-bake no
+      triangles and rebuild no BVH, only the (tiny) material tables.
+    """
+    cache = {} if cache is None else cache
     parts = []
+    part_keys = []
     inst_material: list[int] = []
     inst_handles: list[tuple[int, int]] = []
     material_slot: dict[int, int] = {}
@@ -344,16 +359,26 @@ def build_compiled_scene(
         )
         return slot
 
-    for inst in scene.instances.values():
+    for handle, inst in scene.instances.items():
         geom = scene.geometries.get(inst.geometry_key)
         if geom is None or inst.material_key not in scene.materials:
             continue
-        baked = _geometry_world_mesh(geom, inst.global_transform)
+        key = (inst.geometry_key, geom.version,
+               inst.global_transform.tobytes())
+        cached = cache.get(("part", handle))
+        if cached is not None and cached[0] == key:
+            baked = cached[1]
+        else:
+            baked = _geometry_world_mesh(geom, inst.global_transform)
+            if baked is not None:
+                cache[("part", handle)] = (key, baked)
         if baked is None:
             continue
         slot = len(inst_material)
-        baked["instance"] = np.full(baked["v0"].shape[0], slot, np.int32)
-        parts.append(baked)
+        part = dict(baked)  # don't mutate the cached bake
+        part["instance"] = np.full(part["v0"].shape[0], slot, np.int32)
+        parts.append(part)
+        part_keys.append((handle, key, inst.material_key))
         inst_material.append(material_index(inst.material_key))
         inst_handles.append(handle_words(inst.entity_handle))
 
@@ -372,6 +397,7 @@ def build_compiled_scene(
                 "kind": np.zeros(1, np.int32),
             }
         )
+        part_keys.append((0, ("__empty__",), 0))
         inst_material.append(0)
         inst_handles.append((0, 0))
         mat_list.append(
@@ -393,22 +419,40 @@ def build_compiled_scene(
             )
         )
 
-    merged = {
-        k: np.concatenate([p[k] for p in parts], axis=0)
-        for k in parts[0]
-    }
-    num_tris = merged["v0"].shape[0]
-    pad = (-num_tris) % pad_to_multiple
-    if pad:
-        for k, arr in merged.items():
-            fill = np.zeros((pad,) + arr.shape[1:], arr.dtype)
-            merged[k] = np.concatenate([arr, fill], axis=0)
+    # prune cache entries for instances that left the scene
+    live = {("part", h) for h in scene.instances}
+    for k in [k for k in cache if isinstance(k, tuple) and k[0] == "part"
+              and k not in live]:
+        del cache[k]
 
-    has_curves = bool((merged["kind"] != 0).any())
-    geometry = GeometryBuffers(
-        **{k: jnp.asarray(v) for k, v in merged.items()},
-        has_curves=has_curves,
-    )
+    # ---- geometry-ensemble cache: everything downstream of the triangle
+    # soup (buffers, BVH, Pallas tables) is a pure function of the baked
+    # parts + their material-slot assignment; a matching key means zero
+    # geometry work this build (material-only edits land here)
+    ensemble_key = (tuple(part_keys), pad_to_multiple, build_bvh, leaf_size)
+    ens = cache.get("ensemble")
+    if ens is not None and ens[0] == ensemble_key:
+        geometry = ens[1]["geometry"]
+        has_curves = ens[1]["has_curves"]
+        num_tris = ens[1]["num_tris"]
+    else:
+        ens = None
+        merged = {
+            k: np.concatenate([p[k] for p in parts], axis=0)
+            for k in parts[0]
+        }
+        num_tris = merged["v0"].shape[0]
+        pad = (-num_tris) % pad_to_multiple
+        if pad:
+            for k, arr in merged.items():
+                fill = np.zeros((pad,) + arr.shape[1:], arr.dtype)
+                merged[k] = np.concatenate([arr, fill], axis=0)
+
+        has_curves = bool((merged["kind"] != 0).any())
+        geometry = GeometryBuffers(
+            **{k: jnp.asarray(v) for k, v in merged.items()},
+            has_curves=has_curves,
+        )
 
     texels, tex_sizes = build_texture_stack(textures)
 
@@ -454,39 +498,52 @@ def build_compiled_scene(
         tex_sizes=tex_sizes,
     )
 
-    bvh = None
-    if build_bvh:
-        import jax
+    if ens is not None:
+        bvh = ens[1]["bvh"]
+        pallas_tris = ens[1]["pallas_tris"]
+        fused_geom = ens[1]["fused_geom"]
+    else:
+        bvh = None
+        if build_bvh:
+            import jax
 
-        from raytracerfacility_tpu.ops.bvh import build_bvh as _build
+            from raytracerfacility_tpu.ops.bvh import build_bvh as _build
 
-        # jit the whole build: one compiled program per (shape, leaf_size)
-        # instead of an eager op storm (also how per-frame rebuilds of
-        # animated scenes stay cheap)
-        bvh = jax.jit(
-            _build,
-            static_argnames=("leaf_size", "has_curves"),
-        )(
-            geometry.v0, geometry.e1, geometry.e2,
-            leaf_size=leaf_size, instance=geometry.instance,
-            kind=geometry.kind, has_curves=has_curves,
-        )
+            # jit the whole build: one compiled program per (shape,
+            # leaf_size) instead of an eager op storm (also how per-frame
+            # rebuilds of animated scenes stay cheap)
+            bvh = jax.jit(
+                _build,
+                static_argnames=("leaf_size", "has_curves"),
+            )(
+                geometry.v0, geometry.e1, geometry.e2,
+                leaf_size=leaf_size, instance=geometry.instance,
+                kind=geometry.kind, has_curves=has_curves,
+            )
 
-    # Pallas brute-trace table: on by default on TPU (where it collapses
-    # the whole trace into one op-execution; see ops/pallas_brute.py), off
-    # on CPU (interpret mode is slow); RTF_TPU_PALLAS_BRUTE=1/0 overrides.
-    pallas_tris = None
-    if not has_curves:
-        import os
+        # Pallas trace table: on by default on TPU (where it collapses the
+        # whole trace into one op-execution; see ops/pallas_brute.py), off
+        # on CPU (interpret mode is slow); RTF_TPU_PALLAS_BRUTE=1/0
+        # overrides.
+        pallas_tris = None
+        fused_geom = None
+        if not has_curves:
+            import os
 
-        import jax
+            import jax
 
-        flag = os.environ.get("RTF_TPU_PALLAS_BRUTE")
-        enabled = (jax.default_backend() == "tpu") if flag is None else flag == "1"
-        if enabled:
-            from raytracerfacility_tpu.ops.pallas_brute import pack_tri_table
+            flag = os.environ.get("RTF_TPU_PALLAS_BRUTE")
+            enabled = (jax.default_backend() == "tpu") if flag is None else flag == "1"
+            if enabled:
+                from raytracerfacility_tpu.ops.pallas_brute import pack_tri_table
 
-            pallas_tris = pack_tri_table(geometry.v0, geometry.e1, geometry.e2)
+                pallas_tris = pack_tri_table(
+                    geometry.v0, geometry.e1, geometry.e2)
+        cache["ensemble"] = (ensemble_key, dict(
+            geometry=geometry, has_curves=has_curves, num_tris=num_tris,
+            bvh=bvh, pallas_tris=pallas_tris, fused_geom=None,
+        ))
+        ens = cache["ensemble"]
 
     compiled = CompiledScene(
         geometry=geometry,
@@ -520,9 +577,20 @@ def build_compiled_scene(
             for m in mat_list
         )
         if enabled and eligible:
-            from raytracerfacility_tpu.ops.pallas_fused import pack_fused_tables
+            from raytracerfacility_tpu.ops.pallas_fused import (
+                pack_fused_tables,
+                pack_material_table,
+            )
 
-            compiled = compiled.replace(fused=pack_fused_tables(compiled))
+            if fused_geom is None:
+                table, sub_aabbs, mat_table = pack_fused_tables(compiled)
+                fused_geom = (table, sub_aabbs)
+                ens[1]["fused_geom"] = fused_geom
+                compiled = compiled.replace(fused=(table, sub_aabbs, mat_table))
+            else:
+                # geometry unchanged: only re-pack the material constants
+                compiled = compiled.replace(
+                    fused=fused_geom + (pack_material_table(compiled.materials),))
 
             # MXU matmul-trace variant: opt-in only. Measured on the v5e:
             # in-kernel dot_general carries a ~50 us fixed cost regardless

@@ -77,6 +77,9 @@ class RayTracerScene:
         self.instances: dict[int, RayTracedInstance] = {}
         self._dirty = True
         self._compiled = None
+        # incremental-rebuild cache (per-instance bakes + geometry
+        # ensemble); owned here, consumed by scene/builder.py
+        self._build_cache: dict = {}
 
     # ------------------------------------------------------------------ sync
     def begin_sync(self) -> None:
@@ -211,6 +214,7 @@ class RayTracerScene:
             pad_to_multiple=pad_to_multiple,
             build_bvh=build_bvh,
             leaf_size=leaf_size,
+            cache=self._build_cache,
         )
         self._dirty = False
         return self._compiled
