@@ -76,6 +76,176 @@ def _run_single(width: int, height: int, frames: int) -> None:
         sys.exit(1)
 
 
+# ---------------------------------------------------------------------------
+# BASELINE.md configs 1/3/4/5 (run with --all; the driver's single JSON
+# line stays the config-2 headline)
+# ---------------------------------------------------------------------------
+
+
+def _timed_frames(scene, cam, env, config, frames=3):
+    import jax
+
+    from raytracerfacility_tpu.models.pathtracer import (
+        init_frame, render_frame_counted_jit)
+
+    compiled = scene.build()
+    cam_state, env_state = cam.state(), env.state()
+    frame = init_frame(config.width, config.height)
+    frame, rays = render_frame_counted_jit(
+        compiled, cam_state, env_state, config, frame)
+    _ = float(frame.color[0, 0, 0])
+    t0 = time.perf_counter()
+    acc = rays * 0.0
+    for _ in range(frames):
+        frame, rays = render_frame_counted_jit(
+            compiled, cam_state, env_state, config, frame)
+        acc = acc + rays
+    total = float(acc)
+    return total / (time.perf_counter() - t0) / 1e6
+
+
+def run_config1() -> dict:
+    """512x512 single-mesh diffuse, 1 bounce, 1 spp."""
+    import numpy as np
+
+    from raytracerfacility_tpu.models.pathtracer import RenderConfig
+    from raytracerfacility_tpu.models.renderer import EnvironmentProperties
+    from raytracerfacility_tpu.ops.camera import CameraProperties
+    from raytracerfacility_tpu.scene import (
+        MaterialProperties, RayTracerScene, make_sphere)
+
+    scene = RayTracerScene()
+    scene.upsert_geometry(1, version=0, mesh=make_sphere(0.6, rings=24,
+                                                         sectors=48))
+    scene.upsert_material(2, version=0, properties=MaterialProperties(
+        albedo_color=(0.7, 0.7, 0.7), roughness=1.0, metallic=0.0))
+    scene.upsert_instance(3, version=0, geometry=1, material=2)
+    cam = CameraProperties(fov=60.0, size=(512, 512))
+    cam.look_at_target((0.0, 0.4, 2.2), (0.0, 0.0, 0.0))
+    config = RenderConfig(width=512, height=512, bounces=1, samples=1,
+                          enable_textures=False, enable_vertex_color=False)
+    mrays = _timed_frames(scene, cam, EnvironmentProperties(), config)
+    return {"metric": "config1_512_diffuse_1bounce", "value": round(mrays, 3),
+            "unit": "Mrays/s", "vs_baseline": round(mrays / TARGET_MRAYS, 4)}
+
+
+def run_config3() -> dict:
+    """CompressedBTF (MLVQ) material on a curved mesh."""
+    import numpy as np
+
+    from raytracerfacility_tpu.enums import MaterialType
+    from raytracerfacility_tpu.models.pathtracer import RenderConfig
+    from raytracerfacility_tpu.models.renderer import EnvironmentProperties
+    from raytracerfacility_tpu.ops.camera import CameraProperties
+    from raytracerfacility_tpu.scene import (
+        MaterialProperties, RayTracerScene, make_sphere)
+    from tests.test_mlvq import synthetic_btf
+
+    scene = RayTracerScene()
+    scene.upsert_geometry(1, version=0, mesh=make_sphere(0.6, rings=24,
+                                                         sectors=48))
+    scene.upsert_material(2, version=0,
+                          material_type=MaterialType.COMPRESSED_BTF,
+                          btf=synthetic_btf(seed=2))
+    scene.upsert_instance(3, version=0, geometry=1, material=2)
+    cam = CameraProperties(fov=60.0, size=(256, 256))
+    cam.look_at_target((0.0, 0.4, 2.2), (0.0, 0.0, 0.0))
+    config = RenderConfig(width=256, height=256, bounces=2, samples=1,
+                          enable_btf=True)
+    mrays = _timed_frames(scene, cam, EnvironmentProperties(), config)
+    return {"metric": "config3_btf_curved_mesh", "value": round(mrays, 3),
+            "unit": "Mrays/s", "vs_baseline": round(mrays / TARGET_MRAYS, 4)}
+
+
+def run_config4() -> dict:
+    """Per-triangle illumination over a procedural sorghum canopy
+    (>= 100k triangles)."""
+    import numpy as np
+
+    from raytracerfacility_tpu.models.illumination import (
+        TriangleIlluminationEstimator)
+    from raytracerfacility_tpu.models.pathtracer import RenderConfig
+    from raytracerfacility_tpu.models.renderer import EnvironmentProperties
+    from raytracerfacility_tpu.scene.procedural import (
+        build_canopy_scene, make_canopy_instances, make_sorghum_plant)
+
+    rows = cols = 17
+    scene = build_canopy_scene(rows=rows, cols=cols)
+    compiled = scene.build()
+    plants = [make_sorghum_plant(seed=v) for v in range(4)]
+    mats = make_canopy_instances(rows, cols, seed=0)
+    per = (rows * cols + 3) // 4
+    items = []
+    for v in range(4):
+        for m in mats[v * per:(v + 1) * per]:
+            items.append((plants[v], m))
+    est = TriangleIlluminationEstimator()
+    probes = est.prepare_light_probe_group(items)
+    env = EnvironmentProperties(skylight_intensity=1.0).state()
+    config = RenderConfig(bounces=2, samples=1, enable_textures=False,
+                          enable_vertex_color=False)
+    est.sample_light_probe_group(compiled, env, config, seed=1)  # compile
+    t0 = time.perf_counter()
+    est.sample_light_probe_group(compiled, env, config, seed=2)
+    _ = float(est.probes.energy[0, 0])
+    dt = time.perf_counter() - t0
+    rate = probes.num_probes * 2 * config.samples / dt / 1e6
+    return {"metric": "config4_canopy_illumination_111k_tris",
+            "value": round(rate, 4), "unit": "Mprobe-rays/s",
+            "vs_baseline": round(rate / TARGET_MRAYS, 5),
+            "probes": probes.num_probes,
+            "triangles": int(compiled.geometry.num_triangles),
+            "seconds": round(dt, 2)}
+
+
+def run_config5() -> dict:
+    """LiDAR sweep + CNN-denoised render sharing one built scene."""
+    import numpy as np
+
+    from __graft_entry__ import _bench_scene
+    from raytracerfacility_tpu.models.lidar import PointCloudScanner
+    from raytracerfacility_tpu.models.renderer import (
+        EnvironmentProperties, RayProperties, RayTracerCamera)
+
+    scene, camprops, env = _bench_scene(512, 512)
+    cam = RayTracerCamera(scene, camera=camprops)
+    cam.camera.denoiser_strength = 1.0
+    scanner = PointCloudScanner(size=(2.0, 2.0), distance=(0.004, 0.004))
+    # warmup both launch types on the shared compiled scene
+    img = cam.render(env, RayProperties(bounces=4, samples=1))
+    n_hits = scanner.scan(scene.build(), position=(0.0, 1.0, 2.5))
+    t0 = time.perf_counter()
+    img = cam.render(env, RayProperties(bounces=4, samples=1))
+    n_hits = scanner.scan(scene.build(), position=(0.0, 1.0, 2.5))
+    dt = time.perf_counter() - t0
+    lidar_samples = 500 * 500
+    total = lidar_samples + 512 * 512
+    denoised = cam.denoiser is not None and cam.denoiser.params is not None
+    return {"metric": "config5_lidar_plus_denoised_render",
+            "value": round(total / dt / 1e6, 3), "unit": "Mqueries/s",
+            "vs_baseline": round(total / dt / 1e6 / TARGET_MRAYS, 4),
+            "lidar_hits": int(n_hits), "denoiser_active": bool(denoised),
+            "seconds": round(dt, 3)}
+
+
+def run_sharded() -> dict:
+    """Multi-chip scaling audit on the 8-device virtual CPU mesh (the
+    TPU-ready sharded path exercised without 8 real chips; wall-clock on
+    virtual devices is not meaningful, correctness + collective layout is).
+    """
+    import subprocess
+
+    code = (
+        "from __graft_entry__ import dryrun_multichip;"
+        "dryrun_multichip(8); print('SHARDED_OK')"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, timeout=1500)
+    ok = "SHARDED_OK" in proc.stdout
+    return {"metric": "sharded_8dev_virtual_mesh", "value": 1.0 if ok else 0.0,
+            "unit": "ok", "vs_baseline": 1.0 if ok else 0.0}
+
+
 def main() -> None:
     if "--single" in sys.argv:
         i = sys.argv.index("--single")
@@ -83,7 +253,34 @@ def main() -> None:
                     int(sys.argv[i + 3]))
         return
 
+    if "--config" in sys.argv:
+        # subprocess entry for one auxiliary config
+        which = sys.argv[sys.argv.index("--config") + 1]
+        fn = {"1": run_config1, "3": run_config3, "4": run_config4,
+              "5": run_config5}[which]
+        print("AUX " + json.dumps(fn()))
+        return
+
+    if "--sharded" in sys.argv:
+        print(json.dumps(run_sharded()))
+        return
+
     import subprocess
+
+    if "--all" in sys.argv:
+        # one JSON line per BASELINE config (auxiliary lines first; the
+        # headline config-2 line is printed last by the default path)
+        for which in ("1", "3", "4", "5"):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, __file__, "--config", which],
+                    capture_output=True, text=True, timeout=1800)
+                for line in proc.stdout.splitlines():
+                    if line.startswith("AUX "):
+                        print(line[4:])
+            except subprocess.TimeoutExpired:
+                print(f"# config {which} timed out", file=sys.stderr)
+        print(json.dumps(run_sharded()))
 
     quick = "--quick" in sys.argv
     resolutions = RESOLUTIONS[-1:] if quick else RESOLUTIONS

@@ -475,17 +475,26 @@ def trace_radiance_counted(
     """Like :func:`trace_radiance` but also returns the number of live rays
     actually traced across all segments (the honest Mrays/s numerator).
 
-    The segment loop is a ``lax.scan`` (loop bodies fuse and run
-    back-to-back on device; see the perf notes in ops/traverse.py)."""
+    The segment loop is a ``lax.while_loop`` with an any-lane-alive exit:
+    unused segments cost nothing, which is what makes the generous alpha
+    cutout budget (RenderConfig.alpha_segments = 32 by default from the
+    renderer) effectively free — the reference's anyhit can reject
+    unboundedly many cutout hits in-traversal (ref RayFunctions.cuh:5-23),
+    and a wavefront engine can only match that by having segments to
+    spare."""
     state = init_path_state(origin, direction, rng, tmin)
 
-    def body(carry, _):
-        state, rays = carry
-        rays = rays + jnp.sum(state.active.astype(jnp.float32))
-        return (_segment(scene, env, config, state), rays), None
+    def cond(carry):
+        seg, state, rays = carry
+        return (seg < config.max_segments) & jnp.any(state.active)
 
-    (state, rays), _ = jax.lax.scan(
-        body, (state, jnp.float32(0.0)), None, length=config.max_segments
+    def body(carry):
+        seg, state, rays = carry
+        rays = rays + jnp.sum(state.active.astype(jnp.float32))
+        return seg + 1, _segment(scene, env, config, state), rays
+
+    _, state, rays = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state, jnp.float32(0.0))
     )
     return state, rays
 

@@ -161,8 +161,12 @@ class RayTracerCamera:
             lighting_type=env.lighting_type,
             output_type=self.output_type,
             accumulate=self.camera.accumulate,
+            # 32 extra cutout segments ~ unbounded in practice (the
+            # reference's anyhit rejects any number of cutout hits,
+            # RayFunctions.cuh:5-23); the while-loop segment engine only
+            # pays for segments actually used
             alpha_test=self._needs_alpha_test(),
-            alpha_segments=2 if self._needs_alpha_test() else 0,
+            alpha_segments=32 if self._needs_alpha_test() else 0,
             atmosphere_samples=env.num_samples,
             atmosphere_samples_light=env.num_samples_light,
             enable_btf=compiled.btf is not None,

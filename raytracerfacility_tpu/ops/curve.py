@@ -135,6 +135,110 @@ def linear_curve_normal(
     return normal, position
 
 
+# --------------------------------------------------------------------------
+# Exact swept-spline refinement (the TPU answer to OptiX's builtin
+# quadratic/cubic intersectors, ref RayTracer.cu:1773-1787 with exact
+# spline evaluation in CurveSplineDefinations.hpp:119-313)
+# --------------------------------------------------------------------------
+
+
+def spline_point(ctrl, radii, order, s):
+    """Uniform B-spline evaluation c(s), c'(s), c''(s), r, r', r''.
+
+    ``ctrl`` (..., 4, 3) control points (row 3 ignored for quadratics),
+    ``radii`` (..., 4), ``order`` (...,) 2 = quadratic, 3 = cubic,
+    ``s`` (...,) in [0, 1]. Quadratic/cubic bases match
+    CurveSplineDefinations.hpp:119-176 / :179-313 (uniform B-splines).
+    """
+    s = s[..., None]
+    # quadratic basis + derivatives
+    qb = jnp.concatenate([
+        (1.0 - s) ** 2 / 2.0, 0.5 + s * (1.0 - s), s * s / 2.0,
+        jnp.zeros_like(s),
+    ], axis=-1)
+    qd = jnp.concatenate([
+        s - 1.0, 1.0 - 2.0 * s, s, jnp.zeros_like(s)], axis=-1)
+    qdd = jnp.concatenate([
+        jnp.ones_like(s), -2.0 * jnp.ones_like(s), jnp.ones_like(s),
+        jnp.zeros_like(s)], axis=-1)
+    # cubic basis + derivatives
+    cb = jnp.concatenate([
+        (1.0 - s) ** 3 / 6.0,
+        (3.0 * s**3 - 6.0 * s**2 + 4.0) / 6.0,
+        (-3.0 * s**3 + 3.0 * s**2 + 3.0 * s + 1.0) / 6.0,
+        s**3 / 6.0,
+    ], axis=-1)
+    cd = jnp.concatenate([
+        -((1.0 - s) ** 2) / 2.0,
+        (3.0 * s**2 - 4.0 * s) / 2.0,
+        (-3.0 * s**2 + 2.0 * s + 1.0) / 2.0,
+        s**2 / 2.0,
+    ], axis=-1)
+    cdd = jnp.concatenate([
+        1.0 - s, 3.0 * s - 2.0, 1.0 - 3.0 * s, s], axis=-1)
+
+    is_cubic = (order == 3)[..., None]
+    b = jnp.where(is_cubic, cb, qb)
+    db = jnp.where(is_cubic, cd, qd)
+    ddb = jnp.where(is_cubic, cdd, qdd)
+
+    c = jnp.sum(b[..., None] * ctrl, axis=-2)
+    dc = jnp.sum(db[..., None] * ctrl, axis=-2)
+    ddc = jnp.sum(ddb[..., None] * ctrl, axis=-2)
+    r = jnp.sum(b * radii, axis=-1)
+    dr = jnp.sum(db * radii, axis=-1)
+    ddr = jnp.sum(ddb * radii, axis=-1)
+    return c, dc, ddc, r, dr, ddr
+
+
+def refine_swept_hit(origin, direction, t0, s0, ctrl, radii, order,
+                     iters: int = 4):
+    """Newton-refine a subdivision hit onto the EXACT swept-spline (canal)
+    surface. Unknowns (t, s) solve
+
+        f1 = |x - c(s)|^2 - r(s)^2 = 0      (on the sphere at s)
+        f2 = (x - c(s)) . c'(s) + r r' = 0  (envelope condition)
+
+    with x = origin + t*direction. Seeded by the linear-subdivision hit
+    (t0, global spline parameter s0); converges in 3-4 iterations to float
+    precision for the curvature range of hair/strand geometry. Returns
+    (t, s, position, normal, converged): position on the exact surface,
+    normal = (x - c(s)) / r (the canal surface is tangent to the touching
+    sphere). ``converged`` is False for the grazing-ray tail where Newton
+    wanders — callers keep the subdivision hit there (the subdivision
+    error is bounded, see tests/test_curves_exact.py).
+    """
+    t, s = t0, s0
+    for _ in range(iters):
+        c, dc, ddc, r, dr, ddr = spline_point(ctrl, radii, order, s)
+        x = origin + t[..., None] * direction
+        w = x - c
+        f1 = jnp.sum(w * w, axis=-1) - r * r
+        f2 = jnp.sum(w * dc, axis=-1) + r * dr
+        j11 = 2.0 * jnp.sum(w * direction, axis=-1)
+        j12 = -2.0 * (jnp.sum(w * dc, axis=-1) + r * dr)
+        j21 = jnp.sum(direction * dc, axis=-1)
+        j22 = (-jnp.sum(dc * dc, axis=-1) + jnp.sum(w * ddc, axis=-1)
+               + dr * dr + r * ddr)
+        det = j11 * j22 - j12 * j21
+        safe = jnp.where(jnp.abs(det) > _EPS, det, 1.0)
+        dt = (f1 * j22 - f2 * j12) / safe
+        ds = (j11 * f2 - j21 * f1) / safe
+        ok = jnp.abs(det) > _EPS
+        t = jnp.where(ok, t - dt, t)
+        s = jnp.clip(jnp.where(ok, s - ds, s), 0.0, 1.0)
+    c, dc, ddc, r, dr, ddr = spline_point(ctrl, radii, order, s)
+    x = origin + t[..., None] * direction
+    w = x - c
+    wlen = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    normal = w / jnp.maximum(wlen, _EPS)
+    position = c + normal * r[..., None]
+    resid = jnp.abs(wlen[..., 0] - r)
+    converged = (resid < 1e-4 * jnp.maximum(r, 1e-3)) & (
+        jnp.abs(t - t0) < 4.0 * jnp.maximum(r, 1e-3))
+    return t, s, position, normal[..., 0:3], converged
+
+
 def subdivide_strand_segments(
     strand_points, segments, mode: str, subdivisions: int | None = None
 ):
@@ -142,7 +246,9 @@ def subdivide_strand_segments(
     sphere-swept sub-segments with interpolated attributes.
 
     Returns dict of numpy arrays: p0, p1, r0, r1 (per sub-segment), color0,
-    color1 (N,4), u0, u1 (spline parameter for texcoords).
+    color1 (N,4), u0, u1 (spline parameter range of each sub-segment), and
+    — for quadratic/cubic — ctrl (N, 4, 3), ctrl_r (N, 4) parent control
+    points/radii plus order (N,), for the exact-surface refinement.
     """
     import numpy as np
 
@@ -172,7 +278,9 @@ def subdivide_strand_segments(
 
     out = {key: [] for key in (
         "p0", "p1", "r0", "r1", "color0", "color1", "u0", "u1",
+        "ctrl", "ctrl_r", "order",
     )}
+    order_val = {"linear": 1, "quadratic": 2, "cubic": 3}[mode]
     for seg_start in segments:
         ctrl = pts[seg_start : seg_start + n_ctrl]
         if ctrl.shape[0] < n_ctrl:
@@ -191,6 +299,11 @@ def subdivide_strand_segments(
         out["color1"].append(color[1:])
         out["u0"].append(u[:-1])
         out["u1"].append(u[1:])
+        ctrl4 = np.zeros((4, 4), np.float32)
+        ctrl4[:n_ctrl] = ctrl[:, :4]
+        out["ctrl"].append(np.tile(ctrl4[None, :, :3], (k, 1, 1)))
+        out["ctrl_r"].append(np.tile(ctrl4[None, :, 3], (k, 1)))
+        out["order"].append(np.full(k, order_val, np.float32))
     if not out["p0"]:
         return None
     return {key: np.concatenate(vals, axis=0) for key, vals in out.items()}

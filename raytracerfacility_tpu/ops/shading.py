@@ -106,7 +106,10 @@ def interpolate_hit(
         # curve prims: analytic offset-surface normal + attributes lerped
         # along the segment (ref Curves::GetHitInfo,
         # RayDataDefinations.hpp:32-72)
-        from raytracerfacility_tpu.ops.curve import linear_curve_normal
+        from raytracerfacility_tpu.ops.curve import (
+            linear_curve_normal,
+            refine_swept_hit,
+        )
 
         is_curve = (geom.kind[prim] == 1)[..., None]
         x = origin + ray_direction * t_hit[..., None]
@@ -115,6 +118,37 @@ def interpolate_hit(
         r0 = geom.e2[prim][..., 0]
         dr = geom.e2[prim][..., 1]
         c_normal, c_pos = linear_curve_normal(x, p0, axis, r0, dr, u)
+
+        # exact swept-spline surface for quadratic/cubic strands: Newton
+        # refinement against the parent spline (payload packed by the
+        # scene bake, see builder._bake_analytic_curves) replaces the
+        # subdivided-linear approximation's position/normal with the true
+        # canal-surface point (ref exact spline evaluation,
+        # CurveSplineDefinations.hpp:119-313)
+        pdata = geom.data[prim]
+        pn = geom.normal[prim]
+        order = pdata[..., 1, 3]
+        higher = (geom.kind[prim] == 1) & (order >= 2.0)
+        ctrl = jnp.concatenate([pn, pdata[..., 0:1, :3]], axis=-2)
+        radii = jnp.concatenate(
+            [pdata[..., 1, :3], pdata[..., 0, 3:4]], axis=-1)
+        s0_rng = pdata[..., 2, 0]
+        s1_rng = pdata[..., 2, 1]
+        s_seed = s0_rng + u * (s1_rng - s0_rng)
+        ord_i = jnp.where(higher, order, 2.0).astype(jnp.int32)
+        _, s_ref, r_pos, r_normal, r_ok = refine_swept_hit(
+            origin, ray_direction, t_hit, s_seed, ctrl, radii, ord_i)
+        higher = higher & r_ok  # grazing-ray tail keeps the bounded
+        hm = higher[..., None]  # subdivision hit
+        c_pos = jnp.where(hm, r_pos, c_pos)
+        c_normal = jnp.where(hm, r_normal, c_normal)
+        # attribute parameter: refined s mapped back into this
+        # sub-segment's [u0, u1] range
+        span = jnp.maximum(s1_rng - s0_rng, 1e-8)
+        u_attr = jnp.where(
+            higher, jnp.clip((s_ref - s0_rng) / span, 0.0, 1.0), u)
+        ua = u_attr[..., None]
+
         # tangent = cross(normal, normal.yzx) (ref :69-70)
         swiz = jnp.stack(
             [c_normal[..., 1], c_normal[..., 2], c_normal[..., 0]], axis=-1
@@ -122,10 +156,10 @@ def interpolate_hit(
         c_tangent = cross(c_normal, swiz)
         c0 = geom.color[prim][..., 0, :]
         c1 = geom.color[prim][..., 1, :]
-        c_color = (1.0 - uu) * c0 + uu * c1
+        c_color = (1.0 - ua) * c0 + ua * c1
         t0 = tc[..., 0, :]
         t1 = tc[..., 1, :]
-        c_tex = (1.0 - uu) * t0 + uu * t1
+        c_tex = (1.0 - ua) * t0 + ua * t1
         position = jnp.where(is_curve, c_pos, position)
         normal = jnp.where(is_curve, c_normal, normal)
         tangent = jnp.where(is_curve, c_tangent, tangent)

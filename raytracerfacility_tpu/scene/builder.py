@@ -188,15 +188,29 @@ def _bake_analytic_curves(geom, transform: np.ndarray, mode: str):
     e2 = np.zeros((n, 3), np.float32)
     e2[:, 0] = r0
     e2[:, 1] = r1 - r0
+    # parent-spline payload for the exact-surface Newton refinement
+    # (ops/curve.py::refine_swept_hit): world control points ride the
+    # otherwise-unused normal slots, radii/order/param-range ride `data`
+    ctrl_w = _transform_points(
+        transform, sub["ctrl"].reshape(-1, 3)).reshape(n, 4, 3)
+    ctrl_r = sub["ctrl_r"] * scale
+    normal = ctrl_w[:, 0:3, :].astype(np.float32)  # rows c0, c1, c2
+    data = np.zeros((n, 3, 4), np.float32)
+    data[:, 0, :3] = ctrl_w[:, 3, :]  # c3
+    data[:, 0, 3] = ctrl_r[:, 3]  # r3
+    data[:, 1, :3] = ctrl_r[:, :3]  # r0, r1, r2
+    data[:, 1, 3] = sub["order"]
+    data[:, 2, 0] = sub["u0"]
+    data[:, 2, 1] = sub["u1"]
     return {
         "v0": p0.astype(np.float32),
         "e1": (p1 - p0).astype(np.float32),
         "e2": e2,
-        "normal": zeros3,
+        "normal": normal,
         "tangent": zeros3,
         "tex_coord": tex,
         "color": color,
-        "data": np.zeros((n, 3, 4), np.float32),
+        "data": data,
         "kind": np.ones(n, np.int32),
     }
 
