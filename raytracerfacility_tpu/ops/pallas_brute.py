@@ -31,8 +31,12 @@ tile-coherent culling instead of per-thread pointer chasing.
 
 Closest-hit semantics match ops/intersect.py:moller_trumbore exactly:
 accept iff |det| > 1e-12, u >= 0, v >= 0, u+v <= 1, tmin < t < best_t
-(strict; ties keep the lowest Morton-ordered row). Curve primitives are
-not handled — callers gate on `has_curves`.
+with exact ties resolved to the lowest ORIGINAL primitive index like the
+XLA oracle. Sphere-swept curve rows (kind=1, encoding in ops/curve.py)
+pack into kind-homogeneous SUB runs and dispatch per RUN via sibling
+scalar conds (Mosaic cannot legalize a per-row scf.if at primitive-loop
+depth); the cone math mirrors ops/curve.py::intersect_round_cone term
+for term so accept decisions agree with the XLA path.
 
 `trace_any_pallas` is a true occlusion query with first-hit exit
 (ref TERMINATE_ON_FIRST_HIT shadow rays, RayFunctions.cuh:81-83): a lane
@@ -65,7 +69,7 @@ _LANES = 128
 _DET_EPS = 1e-12
 _DEAD = -3.0e38
 
-_COLS = 10  # v0(3) e1(3) e2(3) original-prim(1)
+_COLS = 12  # v0(3) e1(3) e2(3) original-prim(1) kind(1) pad(1)
 
 
 def _run_aabbs(pmin, pmax, run: int):
@@ -76,40 +80,80 @@ def _run_aabbs(pmin, pmax, run: int):
     return out.at[:, 0:3].set(lo).at[:, 3:6].set(hi)
 
 
-def pack_tri_table(v0, e1, e2):
-    """Morton-orders the triangles (so SUB-sized runs are spatially
+def pack_tri_table(v0, e1, e2, kind=None):
+    """Morton-orders the primitives (so SUB-sized runs are spatially
     compact), builds the (N, _COLS) f32 SMEM table (column 9 = original
-    primitive index, exact as f32 for N < 2^24), the per-sub-run
-    (N/SUB, 8) AABB table and the per-chunk (nchunks_pad8, 8) AABB table.
-    Rows are padded to a TRI_CHUNK multiple with degenerate triangles
-    (det == 0 -> never hit) under inverted AABBs (never entered).
+    primitive index, exact as f32 for N < 2^24; column 10 = kind), the
+    per-sub-run (N/SUB, 8) AABB table and the per-chunk (nchunks_pad8, 8)
+    AABB table. Rows are padded to a TRI_CHUNK multiple with degenerate
+    triangles (det == 0 -> never hit) under inverted AABBs (never
+    entered). ``kind`` rows == 1 are sphere-swept curve segments
+    (v0 = p0, e1 = p1-p0, e2 = (r0, r1-r0, 0); ops/curve.py encoding).
     Returns (table, sub_aabbs, chunk_aabbs)."""
     from raytracerfacility_tpu.ops.bvh import morton_codes
 
     n = v0.shape[0]
-    centroid = v0 + (e1 + e2) / 3.0
-    lo = jnp.min(jnp.minimum(v0, jnp.minimum(v0 + e1, v0 + e2)), axis=0)
-    hi = jnp.max(jnp.maximum(v0, jnp.maximum(v0 + e1, v0 + e2)), axis=0)
-    order = jnp.argsort(morton_codes(centroid, lo, hi))
-    v0, e1, e2 = v0[order], e1[order], e2[order]
+    if kind is None:
+        kind = jnp.zeros((n,), jnp.int32)
+    is_curve = (kind == 1)[:, None]
+    centroid = jnp.where(is_curve, v0 + 0.5 * e1, v0 + (e1 + e2) / 3.0)
+    # primitive bounds: triangle corner hull, or swept-segment box
+    # inflated by the max radius
+    rmax = jnp.maximum(e2[:, 0], e2[:, 0] + e2[:, 1])[:, None]
+    tri_min = jnp.minimum(v0, jnp.minimum(v0 + e1, v0 + e2))
+    tri_max = jnp.maximum(v0, jnp.maximum(v0 + e1, v0 + e2))
+    cur_min = jnp.minimum(v0, v0 + e1) - rmax
+    cur_max = jnp.maximum(v0, v0 + e1) + rmax
+    pmin = jnp.where(is_curve, cur_min, tri_min)
+    pmax = jnp.where(is_curve, cur_max, tri_max)
 
-    pad = (-n) % TRI_CHUNK
-    table = jnp.zeros((n + pad, _COLS), jnp.float32)
-    table = table.at[:n, 0:3].set(v0)
-    table = table.at[:n, 3:6].set(e1)
-    table = table.at[:n, 6:9].set(e2)
-    table = table.at[:n, 9].set(order.astype(jnp.float32))
+    lo = jnp.min(centroid, axis=0)
+    hi = jnp.max(centroid, axis=0)
+    morton = morton_codes(centroid, lo, hi)
 
     big = 3.4e38
-    pmin = jnp.minimum(v0, jnp.minimum(v0 + e1, v0 + e2))
-    pmax = jnp.maximum(v0, jnp.maximum(v0 + e1, v0 + e2))
-    pmin = jnp.concatenate(
-        [pmin, jnp.full((pad, 3), big, jnp.float32)], axis=0
-    )
-    pmax = jnp.concatenate(
-        [pmax, jnp.full((pad, 3), -big, jnp.float32)], axis=0
-    )
+
+    def pack_section(mask):
+        """Morton-order one kind's rows and pad them to a SUB multiple so
+        every SUB run stays kind-homogeneous (the kernel dispatches the
+        intersection test per RUN — a per-row branch does not legalize in
+        Mosaic at triangle-loop depth)."""
+        idx = jnp.where(mask, morton, jnp.uint32(0xFFFFFFFF))
+        order = jnp.argsort(idx)
+        count = int(mask.sum())
+        order = order[:count]
+        rows = jnp.zeros(((count + SUB - 1) // SUB * SUB, _COLS), jnp.float32)
+        rows = rows.at[:count, 0:3].set(v0[order])
+        rows = rows.at[:count, 3:6].set(e1[order])
+        rows = rows.at[:count, 6:9].set(e2[order])
+        rows = rows.at[:count, 9].set(order.astype(jnp.float32))
+        rows = rows.at[:count, 10].set(kind[order].astype(jnp.float32))
+        pads = rows.shape[0] - count
+        lo_s = jnp.concatenate(
+            [pmin[order], jnp.full((pads, 3), big, jnp.float32)], axis=0)
+        hi_s = jnp.concatenate(
+            [pmax[order], jnp.full((pads, 3), -big, jnp.float32)], axis=0)
+        return rows, lo_s, hi_s
+
+    sections = [pack_section(kind == 0)]
+    if int((kind == 1).sum()):
+        sections.append(pack_section(kind == 1))
+    table = jnp.concatenate([s[0] for s in sections], axis=0)
+    pmin = jnp.concatenate([s[1] for s in sections], axis=0)
+    pmax = jnp.concatenate([s[2] for s in sections], axis=0)
+    pad = (-table.shape[0]) % TRI_CHUNK
+    if pad:
+        table = jnp.concatenate(
+            [table, jnp.zeros((pad, _COLS), jnp.float32)], axis=0)
+        pmin = jnp.concatenate(
+            [pmin, jnp.full((pad, 3), big, jnp.float32)], axis=0)
+        pmax = jnp.concatenate(
+            [pmax, jnp.full((pad, 3), -big, jnp.float32)], axis=0)
+
     sub_aabbs = _run_aabbs(pmin, pmax, SUB)
+    # column 6 = the run's kind (runs are homogeneous by construction)
+    run_kind = table[:, 10].reshape(-1, SUB).max(axis=1)
+    sub_aabbs = sub_aabbs.at[:, 6].set(run_kind)
     chunk_aabbs = _run_aabbs(pmin, pmax, TRI_CHUNK)
     cpad = (-chunk_aabbs.shape[0]) % 8
     if cpad:
@@ -155,72 +199,161 @@ def _make_kernel(any_hit: bool):
             far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                           jnp.maximum(t1y, t2y)),
                               jnp.maximum(t1z, t2z))
-            return (near <= far) & (far > tmin_v) & (near < best_t)
+            # <= so a tie candidate sitting exactly on a run boundary
+            # (shared mesh edges) is still visited for index tie-breaking
+            return (near <= far) & (far > tmin_v) & (near <= best_t)
 
-        def body(j, carry):
-            best_t, best_prim, best_u, best_v = carry
-            # scalar loads from SMEM: SREG -> vector broadcasts are native,
-            # unlike VMEM (1,1) -> (rows,128) vector broadcasts
-            def col(c):
-                return tris_ref[j, c]
+        def make_body(case: str):
+            def body(j, carry):
+                best_t, best_prim, best_u, best_v = carry
+                # scalar loads from SMEM: SREG -> vector broadcasts are
+                # native, unlike VMEM (1,1) -> (rows,128) broadcasts
+                def col(c):
+                    return tris_ref[j, c]
 
-            v0x, v0y, v0z = col(0), col(1), col(2)
-            e1x, e1y, e1z = col(3), col(4), col(5)
-            e2x, e2y, e2z = col(6), col(7), col(8)
-
-            # Moller-Trumbore, one scalar triangle vs the whole ray tile
-            pvx = d_y * e2z - d_z * e2y
-            pvy = d_z * e2x - d_x * e2z
-            pvz = d_x * e2y - d_y * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            ok_det = jnp.abs(det) > _DET_EPS
-            inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
-            tvx = o_x - v0x
-            tvy = o_y - v0y
-            tvz = o_z - v0z
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv_det
-            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-            ok = (
-                ok_det
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > tmin_v)
-                & (t < best_t)
-            )
-            jf = col(9)
-            if any_hit:
-                # first-hit exit (ref TERMINATE_ON_FIRST_HIT,
-                # RayFunctions.cuh:81-83): poison best-t so every later
-                # slab test culls this lane
+                v0x, v0y, v0z = col(0), col(1), col(2)
+                e1x, e1y, e1z = col(3), col(4), col(5)
+                e2x, e2y, e2z = col(6), col(7), col(8)
+                ok, t, u, v = (_tri_test if case == "tri" else _curve_test)(
+                    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z)
+                jf = col(9)
+                # the table is Morton-ordered but exact ties must resolve
+                # to the lowest ORIGINAL primitive index, like the XLA
+                # oracle (shared mesh edges tie exactly on bounce rays)
+                ok = ok & ((t < best_t)
+                           | ((t == best_t) & (jf < best_prim)))
+                if any_hit:
+                    # first-hit exit (ref TERMINATE_ON_FIRST_HIT,
+                    # RayFunctions.cuh:81-83): poison best-t so every
+                    # later slab test culls this lane
+                    return (
+                        jnp.where(ok, _DEAD, best_t),
+                        jnp.where(ok, jf, best_prim),
+                        best_u,
+                        best_v,
+                    )
                 return (
-                    jnp.where(ok, _DEAD, best_t),
+                    jnp.where(ok, t, best_t),
                     jnp.where(ok, jf, best_prim),
-                    best_u,
-                    best_v,
+                    jnp.where(ok, u, best_u),
+                    jnp.where(ok, v, best_v),
                 )
-            return (
-                jnp.where(ok, t, best_t),
-                jnp.where(ok, jf, best_prim),
-                jnp.where(ok, u, best_u),
-                jnp.where(ok, v, best_v),
-            )
+
+            return body
+
+        def _tri_test(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z):
+                # Moller-Trumbore, one scalar triangle vs the whole tile
+                pvx = d_y * e2z - d_z * e2y
+                pvy = d_z * e2x - d_x * e2z
+                pvz = d_x * e2y - d_y * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok_det = jnp.abs(det) > _DET_EPS
+                inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
+                tvx = o_x - v0x
+                tvy = o_y - v0y
+                tvz = o_z - v0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv_det
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok = (
+                    ok_det
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t > tmin_v)
+                )
+                return ok, t, u, v
+
+        def _curve_test(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z):
+            if True:
+                # sphere-swept segment; term-for-term mirror of
+                # ops/curve.py::intersect_round_cone with p0 = v0,
+                # axis = e1, r0 = e2.x, dr = e2.y, tmax = best_t
+                r0 = e2x
+                dr = e2y
+                rr = -dr
+                oax = o_x - v0x
+                oay = o_y - v0y
+                oaz = o_z - v0z
+                m0 = e1x * e1x + e1y * e1y + e1z * e1z  # scalar
+                m1 = oax * e1x + oay * e1y + oaz * e1z
+                m2 = d_x * e1x + d_y * e1y + d_z * e1z
+                m3 = d_x * oax + d_y * oay + d_z * oaz
+                m5 = oax * oax + oay * oay + oaz * oaz
+                d2 = m0 - rr * rr  # scalar
+                k2 = d2 - m2 * m2
+                k1 = d2 * m3 - m1 * m2 + m2 * rr * r0
+                k0 = (d2 * m5 - m1 * m1 + 2.0 * m1 * rr * r0
+                      - m0 * r0 * r0)
+                h = k1 * k1 - k0 * k2
+                safe_k2 = jnp.where(jnp.abs(k2) > 1e-12, k2, 1.0)
+                t_body = (-jnp.sqrt(jnp.maximum(h, 0.0)) - k1) / safe_k2
+                y = m1 - r0 * rr + t_body * m2
+                body_ok = (
+                    (h >= 0.0) & (jnp.abs(k2) > 1e-12) & (y > 0.0)
+                    & (y < d2) & (t_body > tmin_v)
+                )
+                disc0 = m3 * m3 - m5 + r0 * r0
+                t_cap0 = -m3 - jnp.sqrt(jnp.maximum(disc0, 0.0))
+                y0 = m1 - r0 * rr + t_cap0 * m2
+                cap0_ok = ((disc0 >= 0.0) & (y0 <= 0.0)
+                           & (t_cap0 > tmin_v))
+                r1 = r0 + dr
+                obx = oax - e1x
+                oby = oay - e1y
+                obz = oaz - e1z
+                m3b = d_x * obx + d_y * oby + d_z * obz
+                m5b = obx * obx + oby * oby + obz * obz
+                disc1 = m3b * m3b - m5b + r1 * r1
+                t_cap1 = -m3b - jnp.sqrt(jnp.maximum(disc1, 0.0))
+                y1 = m1 - r0 * rr + t_cap1 * m2
+                cap1_ok = ((disc1 >= 0.0) & (y1 >= d2)
+                           & (t_cap1 > tmin_v))
+                big_f = 3.4e38
+                tb = jnp.where(body_ok, t_body, big_f)
+                t0c = jnp.where(cap0_ok, t_cap0, big_f)
+                t1c = jnp.where(cap1_ok, t_cap1, big_f)
+                t = jnp.minimum(jnp.minimum(tb, t0c), t1c)
+                ok = body_ok | cap0_ok | cap1_ok
+                safe_d2 = jnp.where(jnp.abs(d2) > 1e-12, d2, 1.0)
+                u_body = jnp.clip((m1 - r0 * rr + t * m2) / safe_d2,
+                                  0.0, 1.0)
+                u = jnp.where(t == t0c, 0.0,
+                              jnp.where(t == t1c, 1.0, u_body))
+                return ok, t, u, jnp.zeros_like(u)
+
+        tri_body = make_body("tri")
+        curve_body = make_body("curve")
 
         def sub_body(si, carry):
             # slab test of the sub-run AABB against the whole tile; skip
-            # the SUB-triangle run when no lane can improve inside it
+            # the SUB-primitive run when no lane can improve inside it.
+            # Runs are kind-homogeneous (pack_tri_table), so the
+            # intersection test dispatches per run via two sibling conds
+            # (a per-row cond inside the primitive loop fails Mosaic's
+            # scf.if legalization at that depth)
             enter = slab(sub_ref[si, 0], sub_ref[si, 1], sub_ref[si, 2],
                          sub_ref[si, 3], sub_ref[si, 4], sub_ref[si, 5],
                          carry[0])
+            go = jnp.any(enter)
+            run_kind = sub_ref[si, 6]
 
-            def run(c):
-                return jax.lax.fori_loop(si * SUB, si * SUB + SUB, body, c)
+            def run_t(c):
+                return jax.lax.fori_loop(si * SUB, si * SUB + SUB,
+                                         tri_body, c)
 
-            return jax.lax.cond(jnp.any(enter), run, lambda c: c, carry)
+            def run_c(c):
+                return jax.lax.fori_loop(si * SUB, si * SUB + SUB,
+                                         curve_body, c)
+
+            carry = jax.lax.cond(go & (run_kind < 0.5), run_t,
+                                 lambda c: c, carry)
+            carry = jax.lax.cond(go & (run_kind >= 0.5), run_c,
+                                 lambda c: c, carry)
+            return carry
 
         carry = (t_ref[...], prim_ref[...], u_ref[...], v_ref[...])
         # level-1 cull: whole 512-triangle window vs the tile

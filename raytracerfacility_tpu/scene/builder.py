@@ -538,10 +538,10 @@ def build_compiled_scene(
         # Pallas trace table: on by default on TPU (where it collapses the
         # whole trace into one op-execution; see ops/pallas_brute.py), off
         # on CPU (interpret mode is slow); RTF_TPU_PALLAS_BRUTE=1/0
-        # overrides.
+        # overrides. Curve rows dispatch in-kernel by their kind flag.
         pallas_tris = None
         fused_geom = None
-        if not has_curves:
+        if True:
             import os
 
             import jax
@@ -552,7 +552,8 @@ def build_compiled_scene(
                 from raytracerfacility_tpu.ops.pallas_brute import pack_tri_table
 
                 pallas_tris = pack_tri_table(
-                    geometry.v0, geometry.e1, geometry.e2)
+                    geometry.v0, geometry.e1, geometry.e2,
+                    kind=geometry.kind if has_curves else None)
         cache["ensemble"] = (ensemble_key, dict(
             geometry=geometry, has_curves=has_curves, num_tris=num_tris,
             bvh=bvh, pallas_tris=pallas_tris, fused_geom=None,

@@ -126,9 +126,7 @@ def test_subdivision_visibility_error_bound():
         assert dt.max() < 0.15, float(dt.max())
 
 
-def test_quadratic_strand_render_end_to_end():
-    from raytracerfacility_tpu.models.renderer import (
-        EnvironmentProperties, RayProperties, RayTracerCamera)
+def _quadratic_strand_scene():
     from raytracerfacility_tpu.scene import MaterialProperties, RayTracerScene
 
     rng = np.random.default_rng(2)
@@ -149,12 +147,39 @@ def test_quadratic_strand_render_end_to_end():
     scene.upsert_material(2, version=0, properties=MaterialProperties(
         albedo_color=(0.3, 0.5, 0.2), roughness=1.0, metallic=0.0))
     scene.upsert_instance(3, version=0, geometry=1, material=2)
-    cam = RayTracerCamera(scene)
+    return scene
+
+
+def _render_strands():
+    from raytracerfacility_tpu.models.renderer import (
+        EnvironmentProperties, RayProperties, RayTracerCamera)
+
+    cam = RayTracerCamera(_quadratic_strand_scene())
     cam.camera.resize((32, 32))
     cam.camera.fov = 60.0
     cam.camera.look_at_target((0.0, 0.5, 1.6), (0.0, 0.5, 0.0))
-    img = np.asarray(cam.render(EnvironmentProperties(),
-                                RayProperties(bounces=2, samples=2)))
+    return np.asarray(cam.render(EnvironmentProperties(),
+                                 RayProperties(bounces=2, samples=2)))
+
+
+def test_quadratic_strand_render_end_to_end():
+    img = _render_strands()
     assert np.isfinite(img).all()
     # strands darken pixels against the white environment
     assert (img[..., :3].min(axis=-1) < 0.8).sum() > 20
+
+
+def test_strand_render_through_pallas_kernel(monkeypatch):
+    """Curve scenes now ride the fast Pallas trace (round 1 silently fell
+    back to the slow XLA walk): same image as the XLA path."""
+    img_xla = _render_strands()
+    monkeypatch.setenv("RTF_TPU_PALLAS_BRUTE", "1")
+    img_pl = _render_strands()
+    # verify the kernel path was actually taken
+    sc = _quadratic_strand_scene()
+    assert sc.build().pallas_tris is not None
+    # hit decisions agree to ~1e-5 in t (test_mixed_triangle_curve_parity);
+    # the Newton spline refinement amplifies those ulps to ~1e-2 in shading
+    d = np.abs(img_pl - img_xla)
+    assert d.max() < 0.05, float(d.max())
+    assert d.mean() < 2e-3, float(d.mean())
