@@ -93,3 +93,46 @@ def test_subsurface_render():
     cam2.camera.look_at_target((0.0, 0.3, 1.6), (0.0, 0.0, 0.0))
     img2 = cam2.render(env, RayProperties(bounces=3, samples=2))
     assert np.abs(img[..., :3] - img2[..., :3]).max() > 0.01
+
+
+def test_zero_factor_split_is_inactive():
+    """The stochastic subsurface split (documented deviation: the
+    reference forks each first hit deterministically into both branches,
+    RayFunctions.cuh:96-133; the wavefront engine samples the branch) is
+    provably inactive at subsurface_factor == 0: the image must equal the
+    subsurface-disabled render bit for bit — the selection draw exists
+    but no lane commits it."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracerfacility_tpu.models.pathtracer import (
+        RenderConfig, init_frame, render_frame_jit)
+    from raytracerfacility_tpu.models.renderer import EnvironmentProperties
+    from raytracerfacility_tpu.ops.camera import CameraProperties
+    from raytracerfacility_tpu.scene import (
+        MaterialProperties, RayTracerScene, make_sphere)
+
+    scene = RayTracerScene()
+    scene.upsert_geometry(1, version=0, mesh=make_sphere(0.5, rings=8,
+                                                         sectors=12))
+    scene.upsert_material(2, version=0, properties=MaterialProperties(
+        albedo_color=(0.8, 0.5, 0.4), roughness=0.7, metallic=0.0,
+        subsurface_factor=0.0, subsurface_radius=(0.2, 0.2, 0.2)))
+    scene.upsert_instance(3, version=0, geometry=1, material=2)
+    compiled = scene.build(build_bvh=True)
+    cam = CameraProperties(fov=70.0, size=(24, 24))
+    cam.look_at_target((0.0, 0.3, 1.6), (0.0, 0.0, 0.0))
+    env = EnvironmentProperties().state()
+    base = RenderConfig(width=24, height=24, bounces=2, samples=1,
+                        enable_textures=False, enable_vertex_color=False)
+    f = dataclasses.replace(init_frame(24, 24), frame_id=jnp.int32(3))
+    on = render_frame_jit(compiled, cam.state(), env,
+                          dataclasses.replace(base, enable_subsurface=True),
+                          f)
+    off = render_frame_jit(compiled, cam.state(), env, base, f)
+    # the two configs compile to different programs, so XLA fusion may
+    # reassociate a float op here and there — float noise only
+    np.testing.assert_allclose(np.asarray(on.color), np.asarray(off.color),
+                               atol=1e-6)
