@@ -53,14 +53,18 @@ def run_once(width, height, frames):
     )
     _ = float(frame.color[0, 0, 0])
 
+    # fence each frame with the live-ray scalar: letting dependent frames
+    # queue unfenced through the tunneled runtime measured 169 ms/frame of
+    # dispatch pathology vs 46 ms fenced (same compute) — and real
+    # interactive use is fenced anyway (the renderer facade reads the
+    # frame back every call)
     t0 = time.perf_counter()
-    ray_acc = rays * 0.0
+    total_rays = 0.0
     for _ in range(frames):
         frame, rays = render_frame_counted_jit(
             compiled, cam_state, env_state, config, frame
         )
-        ray_acc = ray_acc + rays
-    total_rays = float(ray_acc)  # single transfer fences all frames
+        total_rays += float(rays)
     dt = time.perf_counter() - t0
     return total_rays / dt / 1e6
 
@@ -95,12 +99,11 @@ def _timed_frames(scene, cam, env, config, frames=3):
         compiled, cam_state, env_state, config, frame)
     _ = float(frame.color[0, 0, 0])
     t0 = time.perf_counter()
-    acc = rays * 0.0
+    total = 0.0
     for _ in range(frames):
         frame, rays = render_frame_counted_jit(
             compiled, cam_state, env_state, config, frame)
-        acc = acc + rays
-    total = float(acc)
+        total += float(rays)  # per-frame fence (see run_once note)
     return total / (time.perf_counter() - t0) / 1e6
 
 
