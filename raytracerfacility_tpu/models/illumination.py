@@ -266,6 +266,10 @@ class TriangleIlluminationEstimator:
         self.probes = estimate_illumination_jit(
             scene, env, config, self.probes, seed, push_normal_distance
         )
+        from raytracerfacility_tpu.utils.validation import check_finite
+
+        check_finite("EstimateIllumination", energy=self.probes.energy,
+                     direction=self.probes.direction)
         areas = np.asarray(self.probes.areas())
         energy = np.asarray(self.probes.energy)
         self.total_flux = (energy * areas[:, None]).sum(axis=0)

@@ -136,6 +136,10 @@ class PointCloudScanner:
         samples = scan_point_cloud_jit(
             scene, start.reshape(-1, 3), direction.reshape(-1, 3)
         )
+        from raytracerfacility_tpu.utils.validation import check_finite
+
+        check_finite("ScanPointCloud", position=samples.position,
+                     color=samples.color)
         hit = np.asarray(samples.hit)
         self.points = np.asarray(samples.position)[hit] - position
         self.point_colors = np.asarray(samples.color)[hit]

@@ -177,6 +177,12 @@ class RayTracerCamera:
         self._frame = render_frame_jit(
             compiled, self.camera.state(), env.state(), config, self._frame
         )
+        # post-launch validation sweep (the CUDA_SYNC_CHECK slot,
+        # ref RayTracer.cu:368; enable with RTF_VALIDATE=1)
+        from raytracerfacility_tpu.utils.validation import check_finite
+
+        check_finite("RenderToCamera", color=self._frame.color,
+                     normal=self._frame.normal, albedo=self._frame.albedo)
         # CNN denoise of the COLOR output (the accumulation buffer stays
         # raw, like the reference's separate denoised blit buffer,
         # ref RayTracer.cu:477-556)
