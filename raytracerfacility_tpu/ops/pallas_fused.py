@@ -82,11 +82,12 @@ _TWO_PI = 6.2831853071795864769
 
 
 def pack_fused_tables(compiled):
-    """Build the (N, 20) SMEM trace+shade table, the (N/SUB, 8) sub-chunk
-    AABBs and the (M, 8) material constant table from a CompiledScene.
-    Morton-orders triangles so SUB-sized runs are spatially compact; pads
-    to a TRI_CHUNK multiple with degenerate triangles under inverted
-    AABBs. Returns (table, sub_aabbs, mat_table)."""
+    """Build the (N, 20) SMEM trace+shade table, the (N/SUB, 8) sub-run
+    AABBs, the per-chunk AABBs and the (M, 8) material constant table
+    from a CompiledScene. Morton-orders triangles so SUB-sized runs are
+    spatially compact; pads to a TRI_CHUNK multiple with degenerate
+    triangles under inverted AABBs.
+    Returns (table, sub_aabbs, chunk_aabbs, mat_table)."""
     from raytracerfacility_tpu.ops.bvh import morton_codes
 
     g = compiled.geometry
@@ -121,8 +122,20 @@ def pack_fused_tables(compiled):
     sub_aabbs = jnp.zeros((subs, 8), jnp.float32)
     sub_aabbs = sub_aabbs.at[:, 0:3].set(jnp.min(pmin.reshape(subs, SUB, 3), axis=1))
     sub_aabbs = sub_aabbs.at[:, 3:6].set(jnp.max(pmax.reshape(subs, SUB, 3), axis=1))
+    nchunks = (n + pad) // TRI_CHUNK
+    chunk_aabbs = jnp.zeros((max(nchunks, 8), 8), jnp.float32)
+    chunk_aabbs = chunk_aabbs.at[:, 0:3].set(3.4e38).at[:, 3:6].set(-3.4e38)
+    chunk_aabbs = chunk_aabbs.at[:nchunks, 0:3].set(
+        jnp.min(pmin.reshape(nchunks, TRI_CHUNK, 3), axis=1))
+    chunk_aabbs = chunk_aabbs.at[:nchunks, 3:6].set(
+        jnp.max(pmax.reshape(nchunks, TRI_CHUNK, 3), axis=1))
+    cpad = (-chunk_aabbs.shape[0]) % 8
+    if cpad:
+        fill = jnp.zeros((cpad, 8), jnp.float32)
+        fill = fill.at[:, 0:3].set(3.4e38).at[:, 3:6].set(-3.4e38)
+        chunk_aabbs = jnp.concatenate([chunk_aabbs, fill], axis=0)
 
-    return table, sub_aabbs, pack_material_table(compiled.materials)
+    return table, sub_aabbs, chunk_aabbs, pack_material_table(compiled.materials)
 
 
 def pack_material_table(mats):
@@ -148,7 +161,7 @@ def _lcg(s):
 
 def _kernel(
     # SMEM-windowed scene tables + full material table
-    tris, subs, mats,
+    tris, subs, chunks_ref, mats,
     # per-tile ray inputs (VMEM planes)
     ox, oy, oz, dx, dy, dz, rng0, valid,
     # SMEM scalars: env radiance rgb
@@ -466,8 +479,8 @@ def _kernel(
 @functools.partial(
     jax.jit, static_argnames=("bounces", "interpret")
 )
-def _render_pool(table, sub_aabbs, mat_table, origin, direction, rng, valid,
-                 env_rgb, bounces: int, interpret: bool = False):
+def _render_pool(table, sub_aabbs, chunk_aabbs, mat_table, origin, direction,
+                 rng, valid, env_rgb, bounces: int, interpret: bool = False):
     """Run the mega-kernel over a flat ray pool.
 
     origin/direction (R,3) f32, rng (R,) uint32, valid (R,) f32 in {0,1}.
@@ -506,6 +519,7 @@ def _render_pool(table, sub_aabbs, mat_table, origin, direction, rng, valid,
                             memory_space=pltpu.SMEM)
     sub_spec = pl.BlockSpec((TRI_CHUNK // SUB, 8), lambda i, s, c: (c, 0),
                             memory_space=pltpu.SMEM)
+    chunk_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     mat_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     env_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -522,14 +536,14 @@ def _render_pool(table, sub_aabbs, mat_table, origin, direction, rng, valid,
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=(tri_spec, sub_spec, mat_spec) + (ray_spec,) * 6
+        in_specs=(tri_spec, sub_spec, chunk_spec, mat_spec) + (ray_spec,) * 6
         + (pl.BlockSpec((BLOCK_ROWS, _LANES), lambda i, s, c: (i, 0)),)
         + (ray_spec,) + (env_spec,),
         out_specs=(ray_spec,) * 13,
         out_shape=(plane_shape,) * 13,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(table, sub_aabbs, mat_table, *ray_ins, env_rgb)
+    )(table, sub_aabbs, chunk_aabbs, mat_table, *ray_ins, env_rgb)
 
     def unplane3(a, b, c):
         return jnp.stack(
@@ -551,8 +565,8 @@ def render_pool_fused(
     """Public entry: ``tables`` from :func:`pack_fused_tables`."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    table, sub_aabbs, mat_table = tables
+    table, sub_aabbs, chunk_aabbs, mat_table = tables
     return _render_pool(
-        table, sub_aabbs, mat_table, origin, direction, rng, valid, env_rgb,
-        bounces=bounces, interpret=bool(interpret),
+        table, sub_aabbs, chunk_aabbs, mat_table, origin, direction, rng,
+        valid, env_rgb, bounces=bounces, interpret=bool(interpret),
     )

@@ -598,10 +598,12 @@ def build_compiled_scene(
             )
 
             if fused_geom is None:
-                table, sub_aabbs, mat_table = pack_fused_tables(compiled)
-                fused_geom = (table, sub_aabbs)
+                table, sub_aabbs, chunk_aabbs, mat_table = pack_fused_tables(
+                    compiled)
+                fused_geom = (table, sub_aabbs, chunk_aabbs)
                 ens[1]["fused_geom"] = fused_geom
-                compiled = compiled.replace(fused=(table, sub_aabbs, mat_table))
+                compiled = compiled.replace(
+                    fused=(table, sub_aabbs, chunk_aabbs, mat_table))
             else:
                 # geometry unchanged: only re-pack the material constants
                 compiled = compiled.replace(
