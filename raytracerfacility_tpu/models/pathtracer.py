@@ -510,10 +510,14 @@ def fused_compatible(scene: CompiledScene, env: EnvironmentState,
     the scene packed fused tables (triangle-only, Default materials, no
     textures/BTF/subsurface) and the render config requests the statically
     specializable feature set."""
+    scene_mode = (config.lighting_type == EnvironmentalLightingType.SCENE
+                  and env.cubemap is None)
+    # SingleLightSource ignores the cubemap entirely (Environment.cuh:168)
+    sls_mode = (config.lighting_type
+                == EnvironmentalLightingType.SINGLE_LIGHT_SOURCE)
     return (
         (scene.fused is not None or scene.fused_mt is not None)
-        and config.lighting_type == EnvironmentalLightingType.SCENE
-        and env.cubemap is None
+        and (scene_mode or sls_mode)
         and not config.alpha_test
         and not config.enable_btf
         and not config.enable_subsurface
@@ -539,30 +543,43 @@ def _render_samples_fused(
     rng, origin, direction = generate_camera_rays(
         camera, rng, ix[None], iy_global[None], width, config.height
     )
-    # pre-gamma'd flat Scene radiance (ref Environment.cuh:158-162,172-173)
-    env_rgb = jnp.maximum(
+    # environment scalar vector: [0:3] pre-gamma'd flat radiance (miss +
+    # sun, ref Environment.cuh:158-173), [3:6] raw ambient radiance
+    # (ref RayFunctions.cuh:64), [6:9] sun direction, [9] cone alpha
+    flat_rgb = jnp.maximum(
         jnp.power(
             jnp.maximum(env.color * env.skylight_intensity, 0.0),
             1.0 / env.gamma,
         ),
         0.0,
     ).astype(jnp.float32)
+    sls = config.lighting_type == EnvironmentalLightingType.SINGLE_LIGHT_SOURCE
+    env_vec = jnp.zeros((16,), jnp.float32)
+    env_vec = env_vec.at[0:3].set(flat_rgb)
+    env_vec = env_vec.at[3:6].set(env.color * env.ambient_light_intensity)
+    env_vec = env_vec.at[6:9].set(env.sun_direction)
+    env_vec = env_vec.at[9].set(1.0 - env.light_size)
 
     n_rays = sample_count * height * width
-    if scene.fused_mt is not None:
+    if scene.fused_mt is not None and not sls:
         from raytracerfacility_tpu.ops.pallas_mt import render_pool_mt
 
         pool_fn, tables = render_pool_mt, scene.fused_mt
+        env_arg = flat_rgb
+        kwargs = {}
     else:
         pool_fn, tables = render_pool_fused, scene.fused
+        env_arg = env_vec
+        kwargs = {"lighting": 1 if sls else 0}
     radiance, normal, albedo, position, rays = pool_fn(
         tables,
         origin.reshape(n_rays, 3),
         direction.reshape(n_rays, 3),
         rng.reshape(n_rays),
         jnp.ones((n_rays,), jnp.float32),
-        env_rgb,
+        env_arg,
         bounces=config.bounces,
+        **kwargs,
     )
 
     def unflatten(a):

@@ -175,16 +175,21 @@ def _kernel(
     s_fnx, s_fny, s_fnz, s_far, s_fag, s_fab, s_fpx, s_fpy, s_fpz,
     # scratch: per-segment best-hit record
     b_t, b_nx, b_ny, b_nz, b_mid,
+    # scratch: SingleLightSource shadow state (hit pos, sun dir, N.L,
+    # occlusion record); allocated tiny when lighting == 0
+    s_hx, s_hy, s_hz, s_sdx, s_sdy, s_sdz, s_ndl, b_oc,
     # SMEM scratch: [0] = cumulative live count, [1] = live lanes now
     live,
     *,
     bounces: int,
     num_mats: int,
+    lighting: int,
+    nchunks: int,
 ):
     s = pl.program_id(1)
     c = pl.program_id(2)
     nseg = pl.num_programs(1)
-    nchunk = pl.num_programs(2)
+    nchunk = pl.num_programs(2)  # = phases * nchunks
 
     @pl.when((s == 0) & (c == 0))
     def _init_tile():
@@ -231,7 +236,7 @@ def _kernel(
         # dead lanes get an unbeatable best-t so no AABB admits them
         b_t[...] = jnp.where(s_act[...] > 0.0, _TMAX, _DEAD)
 
-    @pl.when(any_live)
+    @pl.when(any_live & (c < nchunks))
     def _trace_chunk():
         o_x, o_y, o_z = s_ox[...], s_oy[...], s_oz[...]
         d_x, d_y, d_z = s_dx[...], s_dy[...], s_dz[...]
@@ -314,7 +319,226 @@ def _kernel(
         b_nz[...] = carry[3]
         b_mid[...] = carry[4]
 
-    @pl.when((c == nchunk - 1) & any_live)
+    def _mat_resolve(mid):
+        ar = jnp.zeros_like(mid)
+        ag = jnp.zeros_like(mid)
+        ab = jnp.zeros_like(mid)
+        ro = jnp.zeros_like(mid)
+        me = jnp.zeros_like(mid)
+        em = jnp.zeros_like(mid)
+        for k in range(num_mats):
+            is_k = mid == float(k)
+            ar = jnp.where(is_k, mats[k, 0], ar)
+            ag = jnp.where(is_k, mats[k, 1], ag)
+            ab = jnp.where(is_k, mats[k, 2], ab)
+            ro = jnp.where(is_k, mats[k, 3], ro)
+            me = jnp.where(is_k, mats[k, 4], me)
+            em = jnp.where(is_k, mats[k, 5], em)
+        return ar, ag, ab, ro, me, em
+
+    if lighting == 1:
+        # ---- SingleLightSource mid-shade at the end of the closest-hit
+        # phase: normalize/flip the hit normal, sample the sun cone
+        # (ref RayFunctions.cuh:61-92; draw order matches
+        # math3d.sample_hemisphere with alpha = 1 - lightSize) and arm the
+        # shadow sweep of phase 1
+        @pl.when((c == nchunks - 1) & any_live)
+        def _sls_mid():
+            act = s_act[...] > 0.0
+            bt = b_t[...]
+            hitm = act & (bt < _HIT_MAX)
+            nx, ny, nz = b_nx[...], b_ny[...], b_nz[...]
+            inv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                            1e-20))
+            nx, ny, nz = nx * inv, ny * inv, nz * inv
+            d_x, d_y, d_z = s_dx[...], s_dy[...], s_dz[...]
+            dp = d_x * nx + d_y * ny + d_z * nz
+            flip = dp > 0.0
+            nx = jnp.where(flip, -nx, nx)
+            ny = jnp.where(flip, -ny, ny)
+            nz = jnp.where(flip, -nz, nz)
+            b_nx[...] = nx
+            b_ny[...] = ny
+            b_nz[...] = nz
+            o_xx, o_yy, o_zz = s_ox[...], s_oy[...], s_oz[...]
+            s_hx[...] = o_xx + bt * d_x
+            s_hy[...] = o_yy + bt * d_y
+            s_hz[...] = o_zz + bt * d_z
+            # sun-cone sample around envc[6:9] with alpha = envc[9]
+            rng = s_rng[...]
+            rng2, u_cos = _lcg(rng)
+            rng2, u_phi = _lcg(rng2)
+            alpha = envc[9]
+            one_minus = 1.0 - alpha
+            cos_t = 1.0 - u_cos * one_minus * one_minus
+            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+            phi = _TWO_PI * u_phi
+            lx = jnp.cos(phi) * sin_t
+            ly = jnp.sin(phi) * sin_t
+            lz = cos_t
+            sx, sy, sz = envc[6], envc[7], envc[8]
+            zero = jnp.zeros_like(nx)
+            use_z = jnp.abs(sx) > 0.99
+            hxh = jnp.where(use_z, zero, zero + 1.0)
+            hzh = jnp.where(use_z, zero + 1.0, zero)
+            tx = sy * hzh
+            ty = sz * hxh - sx * hzh
+            tz = -sy * hxh
+            tinv = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty + tz * tz,
+                                             1e-20))
+            tx, ty, tz = tx * tinv, ty * tinv, tz * tinv
+            bx = sy * tz - sz * ty
+            by = sz * tx - sx * tz
+            bz = sx * ty - sy * tx
+            binv = jax.lax.rsqrt(jnp.maximum(bx * bx + by * by + bz * bz,
+                                             1e-20))
+            bx, by, bz = bx * binv, by * binv, bz * binv
+            sdx = tx * lx + bx * ly + sx * lz
+            sdy = ty * lx + by * ly + sy * lz
+            sdz = tz * lx + bz * ly + sz * lz
+            s_sdx[...] = sdx
+            s_sdy[...] = sdy
+            s_sdz[...] = sdz
+            ndl = nx * sdx + ny * sdy + nz * sdz
+            s_ndl[...] = ndl
+            s_rng[...] = jnp.where(hitm, rng2, rng)
+            # arm shadow rays only for NEE-eligible lanes
+            # (ref RayFunctions.cuh:61-92: accepted hit, N.L > 0)
+            b_oc[...] = jnp.where(hitm & (ndl > 0.0), _TMAX, _DEAD)
+
+        # ---- phase-1 occlusion sweep: any-hit over the same windows
+        # (ref TERMINATE_ON_FIRST_HIT shadow rays, RayFunctions.cuh:81-92)
+        @pl.when(any_live & (c >= nchunks))
+        def _shadow_chunk():
+            o_x, o_y, o_z = s_hx[...], s_hy[...], s_hz[...]
+            d_x, d_y, d_z = s_sdx[...], s_sdy[...], s_sdz[...]
+            tmin_v = jnp.zeros_like(o_x) + _BOUNCE_TMIN
+            eps = 1e-20
+            ivx = 1.0 / jnp.where(jnp.abs(d_x) < eps,
+                                  jnp.where(d_x < 0, -eps, eps), d_x)
+            ivy = 1.0 / jnp.where(jnp.abs(d_y) < eps,
+                                  jnp.where(d_y < 0, -eps, eps), d_y)
+            ivz = 1.0 / jnp.where(jnp.abs(d_z) < eps,
+                                  jnp.where(d_z < 0, -eps, eps), d_z)
+
+            def tri_any(j, bt):
+                v0x, v0y, v0z = tris[j, 0], tris[j, 1], tris[j, 2]
+                e1x, e1y, e1z = tris[j, 3], tris[j, 4], tris[j, 5]
+                e2x, e2y, e2z = tris[j, 6], tris[j, 7], tris[j, 8]
+                pvx = d_y * e2z - d_z * e2y
+                pvy = d_z * e2x - d_x * e2z
+                pvz = d_x * e2y - d_y * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok_det = jnp.abs(det) > _DET_EPS
+                inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
+                tvx = o_x - v0x
+                tvy = o_y - v0y
+                tvz = o_z - v0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv_det
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok = (
+                    ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (t > tmin_v) & (t < bt)
+                )
+                # first-hit exit: poison so later slabs cull this lane
+                return jnp.where(ok, _DEAD, bt)
+
+            def sub_any(si, bt):
+                bx0, by0, bz0 = subs[si, 0], subs[si, 1], subs[si, 2]
+                bx1, by1, bz1 = subs[si, 3], subs[si, 4], subs[si, 5]
+                t1x = (bx0 - o_x) * ivx
+                t2x = (bx1 - o_x) * ivx
+                t1y = (by0 - o_y) * ivy
+                t2y = (by1 - o_y) * ivy
+                t1z = (bz0 - o_z) * ivz
+                t2z = (bz1 - o_z) * ivz
+                near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                               jnp.minimum(t1y, t2y)),
+                                   jnp.minimum(t1z, t2z))
+                far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                              jnp.maximum(t1y, t2y)),
+                                  jnp.maximum(t1z, t2z))
+                enter = (near <= far) & (far > tmin_v) & (near < bt)
+
+                def run(b):
+                    return jax.lax.fori_loop(si * SUB, si * SUB + SUB,
+                                             tri_any, b)
+
+                return jax.lax.cond(jnp.any(enter), run, lambda b: b, bt)
+
+            b_oc[...] = jax.lax.fori_loop(0, TRI_CHUNK // SUB, sub_any,
+                                          b_oc[...])
+
+        # ---- final SLS shade (ref RayFunctions.cuh:61-92: ambient +
+        # one sun NEE sample, no continuation; emission :168-171)
+        @pl.when((c == nchunk - 1) & any_live)
+        def _sls_shade():
+            act = s_act[...] > 0.0
+            bt = b_t[...]
+            hitm = act & (bt < _HIT_MAX)
+            missm = act & ~(bt < _HIT_MAX)
+            tr, tg, tb = s_tr[...], s_tg[...], s_tb[...]
+            rr, rg, rb = s_rr[...], s_rg[...], s_rb[...]
+            hc = s_hc[...]
+            er, eg, eb = envc[0], envc[1], envc[2]
+            # miss: flat color (SLS miss program, Environment.cuh:168-170)
+            rr = jnp.where(missm, rr + tr * er, rr)
+            rg = jnp.where(missm, rg + tg * eg, rg)
+            rb = jnp.where(missm, rb + tb * eb, rb)
+            pm = missm & (hc == 0.0)
+            far_, fag_, fab_ = s_far[...], s_fag[...], s_fab[...]
+            far_ = jnp.where(pm, er, far_)
+            fag_ = jnp.where(pm, eg, fag_)
+            fab_ = jnp.where(pm, eb, fab_)
+
+            ar, ag, ab, ro, me, em = _mat_resolve(b_mid[...])
+            nx, ny, nz = b_nx[...], b_ny[...], b_nz[...]  # unit (mid-shade)
+
+            # emission
+            rr = jnp.where(hitm, rr + tr * em * ar, rr)
+            rg = jnp.where(hitm, rg + tg * em * ag, rg)
+            rb = jnp.where(hitm, rb + tb * em * ab, rb)
+            # ambient (raw color * ambient intensity, RayFunctions.cuh:64)
+            ar_r, ar_g, ar_b = envc[3], envc[4], envc[5]
+            rr = jnp.where(hitm, rr + tr * ar_r * ar, rr)
+            rg = jnp.where(hitm, rg + tg * ar_g * ag, rg)
+            rb = jnp.where(hitm, rb + tb * ar_b * ab, rb)
+            # sun NEE: unoccluded lanes only
+            ndl = s_ndl[...]
+            occluded = b_oc[...] < -1.0e30
+            lit = hitm & (ndl > 0.0) & ~occluded
+            rr = jnp.where(lit, rr + tr * er * ndl * ar, rr)
+            rg = jnp.where(lit, rg + tg * eg * ndl * ag, rg)
+            rb = jnp.where(lit, rb + tb * eb * ndl * ab, rb)
+
+            # first-hit AOVs
+            first = hitm & (hc == 0.0)
+            s_fnx[...] = jnp.where(first, nx, s_fnx[...])
+            s_fny[...] = jnp.where(first, ny, s_fny[...])
+            s_fnz[...] = jnp.where(first, nz, s_fnz[...])
+            far_ = jnp.where(first, ar, far_)
+            fag_ = jnp.where(first, ag, fag_)
+            fab_ = jnp.where(first, ab, fab_)
+            s_far[...] = far_
+            s_fag[...] = fag_
+            s_fab[...] = fab_
+            s_fpx[...] = jnp.where(first, s_hx[...], s_fpx[...])
+            s_fpy[...] = jnp.where(first, s_hy[...], s_fpy[...])
+            s_fpz[...] = jnp.where(first, s_hz[...], s_fpz[...])
+
+            s_rr[...] = rr
+            s_rg[...] = rg
+            s_rb[...] = rb
+            s_hc[...] = jnp.where(hitm, hc + 1.0, hc)
+            # SLS paths terminate at the first accepted hit
+            s_act[...] = jnp.zeros_like(bt)
+            live[1] = 0.0
+
+    @pl.when((c == nchunk - 1) & any_live & (lighting == 0))
     def _shade():
         act = s_act[...] > 0.0
         bt = b_t[...]
@@ -338,21 +562,7 @@ def _kernel(
 
         # ---- material constants via a short static loop over the (small)
         # material table (the SBT dispatch equivalent; no per-lane gather)
-        mid = b_mid[...]
-        ar = jnp.zeros_like(mid)
-        ag = jnp.zeros_like(mid)
-        ab = jnp.zeros_like(mid)
-        ro = jnp.zeros_like(mid)
-        me = jnp.zeros_like(mid)
-        em = jnp.zeros_like(mid)
-        for k in range(num_mats):
-            is_k = mid == float(k)
-            ar = jnp.where(is_k, mats[k, 0], ar)
-            ag = jnp.where(is_k, mats[k, 1], ag)
-            ab = jnp.where(is_k, mats[k, 2], ab)
-            ro = jnp.where(is_k, mats[k, 3], ro)
-            me = jnp.where(is_k, mats[k, 4], me)
-            em = jnp.where(is_k, mats[k, 5], em)
+        ar, ag, ab, ro, me, em = _mat_resolve(b_mid[...])
 
         # ---- hit: normalize + flip interpolated normal
         # (ref RayDataDefinations.hpp:364-382)
@@ -477,13 +687,17 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bounces", "interpret")
+    jax.jit, static_argnames=("bounces", "lighting", "interpret")
 )
 def _render_pool(table, sub_aabbs, chunk_aabbs, mat_table, origin, direction,
-                 rng, valid, env_rgb, bounces: int, interpret: bool = False):
+                 rng, valid, env_rgb, bounces: int, lighting: int = 0,
+                 interpret: bool = False):
     """Run the mega-kernel over a flat ray pool.
 
-    origin/direction (R,3) f32, rng (R,) uint32, valid (R,) f32 in {0,1}.
+    origin/direction (R,3) f32, rng (R,) uint32, valid (R,) f32 in {0,1};
+    ``env_rgb`` is the 16-wide environment scalar vector (see
+    render_pool_fused). ``lighting`` 0 = Scene, 1 = SingleLightSource
+    (one segment: closest-hit phase + shadow any-hit phase).
     Returns (radiance (R,3), first_normal, first_albedo, first_position,
     live_ray_count ())."""
     r = origin.shape[0]
@@ -510,14 +724,18 @@ def _render_pool(table, sub_aabbs, chunk_aabbs, mat_table, origin, direction,
         plane(rng_i), plane(valid),
     )
 
-    nseg = bounces + 1
-    nchunk = table.shape[0] // TRI_CHUNK
-    grid = (tiles, nseg, nchunk)
+    nseg = 1 if lighting == 1 else bounces + 1
+    nchunks = table.shape[0] // TRI_CHUNK
+    phases = 2 if lighting == 1 else 1
+    grid = (tiles, nseg, phases * nchunks)
 
     ray_spec = pl.BlockSpec((BLOCK_ROWS, _LANES), lambda i, s, c: (i, 0))
-    tri_spec = pl.BlockSpec((TRI_CHUNK, _COLS), lambda i, s, c: (c, 0),
+    # scene windows revisit per phase: window index wraps at nchunks
+    tri_spec = pl.BlockSpec((TRI_CHUNK, _COLS),
+                            lambda i, s, c: (c % nchunks, 0),
                             memory_space=pltpu.SMEM)
-    sub_spec = pl.BlockSpec((TRI_CHUNK // SUB, 8), lambda i, s, c: (c, 0),
+    sub_spec = pl.BlockSpec((TRI_CHUNK // SUB, 8),
+                            lambda i, s, c: (c % nchunks, 0),
                             memory_space=pltpu.SMEM)
     chunk_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     mat_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -525,14 +743,18 @@ def _render_pool(table, sub_aabbs, chunk_aabbs, mat_table, origin, direction,
 
     plane_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
     scratch_plane = pltpu.VMEM((BLOCK_ROWS, _LANES), jnp.float32)
+    # SLS shadow-state planes shrink to minimal tiles when unused
+    sls_plane = (scratch_plane if lighting == 1
+                 else pltpu.VMEM((8, _LANES), jnp.float32))
     scratch = [scratch_plane] * 6 + [
         pltpu.VMEM((BLOCK_ROWS, _LANES), jnp.int32)  # s_rng
-    ] + [scratch_plane] * 18 + [scratch_plane] * 5 + [
+    ] + [scratch_plane] * 18 + [scratch_plane] * 5 + [sls_plane] * 8 + [
         pltpu.SMEM((2,), jnp.float32)
     ]
 
     kernel = functools.partial(_kernel, bounces=bounces,
-                               num_mats=int(mat_table.shape[0]))
+                               num_mats=int(mat_table.shape[0]),
+                               lighting=lighting, nchunks=nchunks)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -560,13 +782,21 @@ def _render_pool(table, sub_aabbs, chunk_aabbs, mat_table, origin, direction,
 
 def render_pool_fused(
     tables, origin, direction, rng, valid, env_rgb, bounces: int,
-    interpret: bool | None = None,
+    lighting: int = 0, interpret: bool | None = None,
 ):
-    """Public entry: ``tables`` from :func:`pack_fused_tables`."""
+    """Public entry: ``tables`` from :func:`pack_fused_tables`.
+
+    ``env_rgb`` may be the 3-wide Scene radiance (padded internally) or
+    the full 16-wide environment vector: [0:3] miss/sun radiance
+    (pre-gamma'd), [3:6] ambient radiance (raw color x ambient
+    intensity), [6:9] sun direction, [9] cone alpha = 1 - lightSize."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    env_vec = jnp.zeros((16,), jnp.float32)
+    env_vec = env_vec.at[: env_rgb.shape[0]].set(env_rgb)
     table, sub_aabbs, chunk_aabbs, mat_table = tables
     return _render_pool(
         table, sub_aabbs, chunk_aabbs, mat_table, origin, direction, rng,
-        valid, env_rgb, bounces=bounces, interpret=bool(interpret),
+        valid, env_vec, bounces=bounces, lighting=int(lighting),
+        interpret=bool(interpret),
     )

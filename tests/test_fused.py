@@ -73,6 +73,42 @@ def test_fused_matches_wavefront(monkeypatch, bounces, samples):
         assert np.quantile(d, 0.999) < 5e-3, float(np.quantile(d, 0.999))
 
 
+def test_fused_single_light_source_matches_wavefront(monkeypatch):
+    """The SLS mode (ambient + one sun-cone NEE shadow ray, no
+    continuation — ref RayFunctions.cuh:61-92) runs as a two-phase fused
+    kernel (closest-hit sweep, then shadow any-hit sweep) and must match
+    the XLA engine."""
+    from raytracerfacility_tpu.enums import EnvironmentalLightingType
+    from raytracerfacility_tpu.models.renderer import EnvironmentProperties
+
+    compiled_f, cam, _ = _scene("1", monkeypatch)
+    compiled_x, _, _ = _scene("0", monkeypatch)
+    env = EnvironmentProperties(
+        lighting_type=EnvironmentalLightingType.SINGLE_LIGHT_SOURCE,
+        sun_direction=(0.3, 0.9, 0.2),
+        light_size=0.05,
+        ambient_light_intensity=0.15,
+    ).state()
+    config = RenderConfig(
+        width=48, height=48, bounces=2, samples=1,
+        lighting_type=EnvironmentalLightingType.SINGLE_LIGHT_SOURCE,
+        enable_textures=False, enable_vertex_color=False,
+        samples_in_lanes=True,
+    )
+    assert fused_compatible(compiled_f, env, config)
+    frame_f, rays_f = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(48, 48))
+    frame_x, rays_x = render_frame_counted_jit(
+        compiled_x, cam, env, config, init_frame(48, 48))
+    diff = np.abs(np.asarray(frame_f.color) - np.asarray(frame_x.color))
+    assert np.quantile(diff, 0.99) < 2e-3, float(np.quantile(diff, 0.99))
+    assert diff.mean() < 3e-4, float(diff.mean())
+    assert abs(float(rays_f) - float(rays_x)) <= max(2.0, 1e-3 * float(rays_x))
+    # shadows exist: some hit pixels are in shadow (darker than lit ones)
+    img = np.asarray(frame_x.color[..., 0])
+    assert img.std() > 0.02
+
+
 def test_fused_depth_output(monkeypatch):
     compiled_f, cam, env = _scene("1", monkeypatch)
     config = RenderConfig(width=48, height=48, bounces=1, samples=1,
