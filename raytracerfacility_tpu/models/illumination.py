@@ -142,12 +142,46 @@ def estimate_illumination(
     rng, ray_dir = sample_hemisphere(rng, normal)  # uniform variant
     origin = position + normal * push_normal_distance
 
-    path = trace_radiance(
-        scene, env, config, origin, ray_dir, rng, jnp.float32(1e-3)
-    )
+    from raytracerfacility_tpu.models.pathtracer import fused_compatible
+
+    if fused_compatible(scene, env, config) and scene.fused is not None:
+        # probe rays ride the fused mega-kernel (ops/pallas_fused.py):
+        # same per-ray RNG stream and segment semantics as the wavefront
+        # engine, one kernel execution for the whole probe pool
+        from raytracerfacility_tpu.enums import EnvironmentalLightingType
+        from raytracerfacility_tpu.ops.pallas_fused import render_pool_fused
+
+        n_rays = p * 2 * s
+        flat_rgb = jnp.maximum(
+            jnp.power(jnp.maximum(env.color * env.skylight_intensity, 0.0),
+                      1.0 / env.gamma), 0.0).astype(jnp.float32)
+        sls = (config.lighting_type
+               == EnvironmentalLightingType.SINGLE_LIGHT_SOURCE)
+        env_vec = jnp.zeros((16,), jnp.float32)
+        env_vec = env_vec.at[0:3].set(flat_rgb)
+        env_vec = env_vec.at[3:6].set(env.color * env.ambient_light_intensity)
+        env_vec = env_vec.at[6:9].set(env.sun_direction)
+        env_vec = env_vec.at[9].set(1.0 - env.light_size)
+        env_vec = env_vec.at[10].set(1e-3)  # probe-ray tmin (matches XLA)
+        radiance, _, _, _, _ = render_pool_fused(
+            scene.fused,
+            origin.reshape(n_rays, 3),
+            ray_dir.reshape(n_rays, 3),
+            rng.reshape(n_rays),
+            jnp.ones((n_rays,), jnp.float32),
+            env_vec,
+            bounces=config.bounces,
+            lighting=1 if sls else 0,
+        )
+        path_radiance = radiance.reshape(p, 2, s, 3)
+    else:
+        path = trace_radiance(
+            scene, env, config, origin, ray_dir, rng, jnp.float32(1e-3)
+        )
+        path_radiance = path.radiance
 
     ndotl = jnp.abs(jnp.sum(normal * ray_dir, axis=-1, keepdims=True))
-    sample_energy = path.radiance * ndotl  # (P, 2, S, 3)
+    sample_energy = path_radiance * ndotl  # (P, 2, S, 3)
     # face masking per probe flags
     face_on = jnp.stack([probes.front_face, probes.back_face], axis=1)  # (P, 2)
     sample_energy = jnp.where(face_on[..., None, None], sample_energy, 0.0)

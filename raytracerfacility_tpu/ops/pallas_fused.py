@@ -202,7 +202,9 @@ def _kernel(
         s_rng[...] = rng0[...]
         zero = jnp.zeros_like(ox[...])
         one = zero + 1.0
-        s_tmin[...] = zero
+        # envc[10] = primary-ray tmin (0 for camera rays; probe pools use
+        # the estimator's 1e-3 offset, ref IlluminationEstimation.cu:63)
+        s_tmin[...] = zero + envc[10]
         s_tr[...] = one
         s_tg[...] = one
         s_tb[...] = one

@@ -120,3 +120,23 @@ def test_fused_depth_output(monkeypatch):
     assert np.isfinite(depth).all()
     assert depth.min() >= 0.0 and depth.max() <= 1.0
     assert depth.std() > 1e-3  # actual scene structure visible
+
+
+def test_fused_illumination_estimator_matches(monkeypatch):
+    """Probe pools ride the fused kernel when the scene qualifies; the
+    energies must match the wavefront estimator (same RNG streams)."""
+    from raytracerfacility_tpu.models.illumination import estimate_illumination
+    from raytracerfacility_tpu.models.illumination import probes_from_mesh
+    from raytracerfacility_tpu.scene import make_sphere
+
+    compiled_f, _, env = _scene("1", monkeypatch)
+    compiled_x, _, _ = _scene("0", monkeypatch)
+    probes = probes_from_mesh(make_sphere(0.4, rings=6, sectors=8),
+                              np.eye(4, dtype="float32"))
+    config = RenderConfig(bounces=2, samples=2, enable_textures=False,
+                          enable_vertex_color=False)
+    out_f = estimate_illumination(compiled_f, env, config, probes, seed=3)
+    out_x = estimate_illumination(compiled_x, env, config, probes, seed=3)
+    d = np.abs(np.asarray(out_f.energy) - np.asarray(out_x.energy))
+    assert np.quantile(d, 0.99) < 2e-3, float(np.quantile(d, 0.99))
+    assert float(np.asarray(out_x.energy).mean()) > 1e-3  # non-trivial
