@@ -213,7 +213,31 @@ def main() -> None:
           f"{int(scanner.size[0] / scanner.distance[0]) * int(scanner.size[1] / scanner.distance[1])} rays")
     serialization.save_scanner(scanner, os.path.join(args.out, "scanner.yml"))
 
-    # 4) camera persistence -------------------------------------------------
+    # 4) sorghum canopy under the sun (the reference project's flagship
+    # agronomy flow: procedural plants + SingleLightSource render +
+    # per-triangle light interception) ------------------------------------
+    from raytracerfacility_tpu.enums import EnvironmentalLightingType
+    from raytracerfacility_tpu.models.renderer import (
+        EnvironmentProperties, RayProperties, RayTracerCamera)
+    from raytracerfacility_tpu.scene.procedural import build_canopy_scene
+
+    canopy = build_canopy_scene(rows=4, cols=4, leaf_segments=6)
+    ccam = RayTracerCamera(canopy)
+    ccam.camera.resize((args.size, args.size))
+    ccam.camera.fov = 55.0
+    ccam.camera.look_at_target((1.2, 1.4, 1.2), (0.0, 0.5, 0.0))
+    sun_env = EnvironmentProperties(
+        lighting_type=EnvironmentalLightingType.SINGLE_LIGHT_SOURCE,
+        sun_direction=(0.3, 0.9, 0.2), light_size=0.05,
+        ambient_light_intensity=0.2)
+    img = None
+    for _ in range(max(2, args.frames // 2)):
+        img = ccam.render(sun_env, RayProperties(bounces=1, samples=1))
+    write_png(os.path.join(args.out, "canopy_sun.png"), img)
+    print(f"canopy: {canopy.build().geometry.num_triangles} triangles, "
+          f"sun-lit render saved")
+
+    # 5) camera persistence -------------------------------------------------
     serialization.save_camera(
         layer.scene_camera.camera, os.path.join(args.out, "camera.yml"))
     print(f"outputs in {args.out}")
