@@ -48,7 +48,6 @@ before the kernel).
 from __future__ import annotations
 
 import functools
-import math
 import os
 
 import jax
