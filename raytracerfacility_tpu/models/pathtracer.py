@@ -93,7 +93,11 @@ class RenderConfig:
     enable_textures: bool = True
     enable_vertex_color: bool = True
     # fold spp into the lane dimension instead of a sequential scan (one
-    # big ray pool per frame; the throughput mode for per-op-bound runtimes)
+    # big ray pool per frame; the throughput mode for per-op-bound
+    # runtimes). Also the opt-in for multi-spp frames to use the fused
+    # Pallas mega-kernel, which only supports this layout: per-sample RNG
+    # streams are TEA-decorrelated rather than the reference's sequential
+    # per-pixel stream (distributions match; see tests/test_spp_equivalence)
     samples_in_lanes: bool = False
 
     @property
@@ -506,10 +510,13 @@ def trace_radiance_counted(
 
 def fused_compatible(scene: CompiledScene, env: EnvironmentState,
                      config: RenderConfig) -> bool:
-    """True when the whole frame can run as the fused Pallas mega-kernel:
+    """True when a ray pool can run as the fused Pallas mega-kernel:
     the scene packed fused tables (triangle-only, Default materials, no
     textures/BTF/subsurface) and the render config requests the statically
-    specializable feature set."""
+    specializable feature set. Pool workloads whose RNG streams are
+    per-ray by construction (illumination probes, LiDAR) use this check
+    directly; camera rendering additionally gates on the spp layout (see
+    fused_camera_compatible)."""
     scene_mode = (config.lighting_type == EnvironmentalLightingType.SCENE
                   and env.cubemap is None)
     # SingleLightSource ignores the cubemap entirely (Environment.cuh:168)
@@ -521,6 +528,18 @@ def fused_compatible(scene: CompiledScene, env: EnvironmentState,
         and not config.alpha_test
         and not config.enable_btf
         and not config.enable_subsurface
+    )
+
+
+def fused_camera_compatible(scene: CompiledScene, env: EnvironmentState,
+                            config: RenderConfig) -> bool:
+    """fused_compatible plus the camera-path RNG-layout gate: the fused
+    kernel always folds spp into lanes (TEA-decorrelated per-sample
+    streams), so multi-spp camera renders that did not opt into
+    ``samples_in_lanes`` keep the reference's sequential per-pixel stream
+    on the wavefront engine."""
+    return fused_compatible(scene, env, config) and (
+        config.samples == 1 or config.samples_in_lanes
     )
 
 
@@ -656,7 +675,7 @@ def render_samples(
         sample_stream, jnp.uint32
     )
 
-    if fused_compatible(scene, env, config):
+    if fused_camera_compatible(scene, env, config):
         return _render_samples_fused(
             scene, camera, env, config, ix, iy_global, pixel_index,
             base_seed, height, width, sample_count,

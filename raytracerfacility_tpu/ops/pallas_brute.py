@@ -113,7 +113,7 @@ def pack_tri_table(v0, e1, e2, kind=None):
 
     big = 3.4e38
 
-    def pack_section(mask):
+    def pack_section(mask, section_kind=0):
         """Morton-order one kind's rows and pad them to a SUB multiple so
         every SUB run stays kind-homogeneous (the kernel dispatches the
         intersection test per RUN — a per-row branch does not legalize in
@@ -128,6 +128,11 @@ def pack_tri_table(v0, e1, e2, kind=None):
         rows = rows.at[:count, 6:9].set(e2[order])
         rows = rows.at[:count, 9].set(order.astype(jnp.float32))
         rows = rows.at[:count, 10].set(kind[order].astype(jnp.float32))
+        if section_kind == 1:
+            # curve pad rows: negative radius, rejected explicitly by
+            # _curve_test (zero rows are triangle-style degenerate, which
+            # the curve test does not check)
+            rows = rows.at[count:, 6].set(-1.0)
         pads = rows.shape[0] - count
         lo_s = jnp.concatenate(
             [pmin[order], jnp.full((pads, 3), big, jnp.float32)], axis=0)
@@ -137,7 +142,7 @@ def pack_tri_table(v0, e1, e2, kind=None):
 
     sections = [pack_section(kind == 0)]
     if int((kind == 1).sum()):
-        sections.append(pack_section(kind == 1))
+        sections.append(pack_section(kind == 1, section_kind=1))
     table = jnp.concatenate([s[0] for s in sections], axis=0)
     pmin = jnp.concatenate([s[1] for s in sections], axis=0)
     pmax = jnp.concatenate([s[2] for s in sections], axis=0)
@@ -268,62 +273,63 @@ def _make_kernel(any_hit: bool):
                 return ok, t, u, v
 
         def _curve_test(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z):
-            if True:
-                # sphere-swept segment; term-for-term mirror of
-                # ops/curve.py::intersect_round_cone with p0 = v0,
-                # axis = e1, r0 = e2.x, dr = e2.y, tmax = best_t
-                r0 = e2x
-                dr = e2y
-                rr = -dr
-                oax = o_x - v0x
-                oay = o_y - v0y
-                oaz = o_z - v0z
-                m0 = e1x * e1x + e1y * e1y + e1z * e1z  # scalar
-                m1 = oax * e1x + oay * e1y + oaz * e1z
-                m2 = d_x * e1x + d_y * e1y + d_z * e1z
-                m3 = d_x * oax + d_y * oay + d_z * oaz
-                m5 = oax * oax + oay * oay + oaz * oaz
-                d2 = m0 - rr * rr  # scalar
-                k2 = d2 - m2 * m2
-                k1 = d2 * m3 - m1 * m2 + m2 * rr * r0
-                k0 = (d2 * m5 - m1 * m1 + 2.0 * m1 * rr * r0
-                      - m0 * r0 * r0)
-                h = k1 * k1 - k0 * k2
-                safe_k2 = jnp.where(jnp.abs(k2) > 1e-12, k2, 1.0)
-                t_body = (-jnp.sqrt(jnp.maximum(h, 0.0)) - k1) / safe_k2
-                y = m1 - r0 * rr + t_body * m2
-                body_ok = (
-                    (h >= 0.0) & (jnp.abs(k2) > 1e-12) & (y > 0.0)
-                    & (y < d2) & (t_body > tmin_v)
-                )
-                disc0 = m3 * m3 - m5 + r0 * r0
-                t_cap0 = -m3 - jnp.sqrt(jnp.maximum(disc0, 0.0))
-                y0 = m1 - r0 * rr + t_cap0 * m2
-                cap0_ok = ((disc0 >= 0.0) & (y0 <= 0.0)
-                           & (t_cap0 > tmin_v))
-                r1 = r0 + dr
-                obx = oax - e1x
-                oby = oay - e1y
-                obz = oaz - e1z
-                m3b = d_x * obx + d_y * oby + d_z * obz
-                m5b = obx * obx + oby * oby + obz * obz
-                disc1 = m3b * m3b - m5b + r1 * r1
-                t_cap1 = -m3b - jnp.sqrt(jnp.maximum(disc1, 0.0))
-                y1 = m1 - r0 * rr + t_cap1 * m2
-                cap1_ok = ((disc1 >= 0.0) & (y1 >= d2)
-                           & (t_cap1 > tmin_v))
-                big_f = 3.4e38
-                tb = jnp.where(body_ok, t_body, big_f)
-                t0c = jnp.where(cap0_ok, t_cap0, big_f)
-                t1c = jnp.where(cap1_ok, t_cap1, big_f)
-                t = jnp.minimum(jnp.minimum(tb, t0c), t1c)
-                ok = body_ok | cap0_ok | cap1_ok
-                safe_d2 = jnp.where(jnp.abs(d2) > 1e-12, d2, 1.0)
-                u_body = jnp.clip((m1 - r0 * rr + t * m2) / safe_d2,
-                                  0.0, 1.0)
-                u = jnp.where(t == t0c, 0.0,
-                              jnp.where(t == t1c, 1.0, u_body))
-                return ok, t, u, jnp.zeros_like(u)
+            # sphere-swept segment; term-for-term mirror of
+            # ops/curve.py::intersect_round_cone with p0 = v0,
+            # axis = e1, r0 = e2.x, dr = e2.y, tmax = best_t.
+            # Pad rows in curve sections carry r0 = -1 (pack_tri_table) and
+            # are rejected explicitly by the r0 >= 0 guard below.
+            r0 = e2x
+            dr = e2y
+            rr = -dr
+            oax = o_x - v0x
+            oay = o_y - v0y
+            oaz = o_z - v0z
+            m0 = e1x * e1x + e1y * e1y + e1z * e1z  # scalar
+            m1 = oax * e1x + oay * e1y + oaz * e1z
+            m2 = d_x * e1x + d_y * e1y + d_z * e1z
+            m3 = d_x * oax + d_y * oay + d_z * oaz
+            m5 = oax * oax + oay * oay + oaz * oaz
+            d2 = m0 - rr * rr  # scalar
+            k2 = d2 - m2 * m2
+            k1 = d2 * m3 - m1 * m2 + m2 * rr * r0
+            k0 = (d2 * m5 - m1 * m1 + 2.0 * m1 * rr * r0
+                  - m0 * r0 * r0)
+            h = k1 * k1 - k0 * k2
+            safe_k2 = jnp.where(jnp.abs(k2) > 1e-12, k2, 1.0)
+            t_body = (-jnp.sqrt(jnp.maximum(h, 0.0)) - k1) / safe_k2
+            y = m1 - r0 * rr + t_body * m2
+            body_ok = (
+                (h >= 0.0) & (jnp.abs(k2) > 1e-12) & (y > 0.0)
+                & (y < d2) & (t_body > tmin_v)
+            )
+            disc0 = m3 * m3 - m5 + r0 * r0
+            t_cap0 = -m3 - jnp.sqrt(jnp.maximum(disc0, 0.0))
+            y0 = m1 - r0 * rr + t_cap0 * m2
+            cap0_ok = ((disc0 >= 0.0) & (y0 <= 0.0)
+                       & (t_cap0 > tmin_v))
+            r1 = r0 + dr
+            obx = oax - e1x
+            oby = oay - e1y
+            obz = oaz - e1z
+            m3b = d_x * obx + d_y * oby + d_z * obz
+            m5b = obx * obx + oby * oby + obz * obz
+            disc1 = m3b * m3b - m5b + r1 * r1
+            t_cap1 = -m3b - jnp.sqrt(jnp.maximum(disc1, 0.0))
+            y1 = m1 - r0 * rr + t_cap1 * m2
+            cap1_ok = ((disc1 >= 0.0) & (y1 >= d2)
+                       & (t_cap1 > tmin_v))
+            big_f = 3.4e38
+            tb = jnp.where(body_ok, t_body, big_f)
+            t0c = jnp.where(cap0_ok, t_cap0, big_f)
+            t1c = jnp.where(cap1_ok, t_cap1, big_f)
+            t = jnp.minimum(jnp.minimum(tb, t0c), t1c)
+            ok = (body_ok | cap0_ok | cap1_ok) & (r0 >= 0.0)
+            safe_d2 = jnp.where(jnp.abs(d2) > 1e-12, d2, 1.0)
+            u_body = jnp.clip((m1 - r0 * rr + t * m2) / safe_d2,
+                              0.0, 1.0)
+            u = jnp.where(t == t0c, 0.0,
+                          jnp.where(t == t1c, 1.0, u_body))
+            return ok, t, u, jnp.zeros_like(u)
 
         tri_body = make_body("tri")
         curve_body = make_body("curve")

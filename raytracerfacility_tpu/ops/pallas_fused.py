@@ -172,8 +172,9 @@ def _kernel(
     s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_rng, s_tmin,
     s_tr, s_tg, s_tb, s_rr, s_rg, s_rb, s_act, s_hc,
     s_fnx, s_fny, s_fnz, s_far, s_fag, s_fab, s_fpx, s_fpy, s_fpz,
-    # scratch: per-segment best-hit record
-    b_t, b_nx, b_ny, b_nz, b_mid,
+    # scratch: per-segment best-hit record (b_pid = original prim id of the
+    # best hit, for exact-tie determinism vs pallas_brute / the XLA oracle)
+    b_t, b_nx, b_ny, b_nz, b_mid, b_pid,
     # scratch: SingleLightSource shadow state (hit pos, sun dir, N.L,
     # occlusion record); allocated tiny when lighting == 0
     s_hx, s_hy, s_hz, s_sdx, s_sdy, s_sdz, s_ndl, b_oc,
@@ -226,6 +227,7 @@ def _kernel(
         b_ny[...] = zero
         b_nz[...] = zero
         b_mid[...] = zero
+        b_pid[...] = zero + 3.4e38
         live[0] = 0.0
         live[1] = jnp.sum(valid[...])
 
@@ -236,6 +238,7 @@ def _kernel(
         live[0] = live[0] + jnp.sum(s_act[...])
         # dead lanes get an unbeatable best-t so no AABB admits them
         b_t[...] = jnp.where(s_act[...] > 0.0, _TMAX, _DEAD)
+        b_pid[...] = jnp.zeros_like(b_pid[...]) + 3.4e38
 
     @pl.when(any_live & (c < nchunks))
     def _trace_chunk():
@@ -251,7 +254,7 @@ def _kernel(
                               jnp.where(d_z < 0, -eps, eps), d_z)
 
         def tri_body(j, carry):
-            bt, nx, ny, nz, mid = carry
+            bt, nx, ny, nz, mid, bpid = carry
             v0x, v0y, v0z = tris[j, 0], tris[j, 1], tris[j, 2]
             e1x, e1y, e1z = tris[j, 3], tris[j, 4], tris[j, 5]
             e2x, e2y, e2z = tris[j, 6], tris[j, 7], tris[j, 8]
@@ -272,9 +275,13 @@ def _kernel(
             qvz = tvx * e1y - tvy * e1x
             v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv_det
             t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            jf = tris[j, 9]
+            # exact ties resolve to the lowest ORIGINAL primitive index,
+            # matching pallas_brute and the XLA oracle (shared mesh edges
+            # tie exactly on bounce rays)
             ok = (
                 ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t > tmin_v) & (t < bt)
+                & (t > tmin_v) & ((t < bt) | ((t == bt) & (jf < bpid)))
             )
             # interpolate-on-improve: blend this triangle's corner normals
             # + material id into the best-hit record under the accept mask.
@@ -287,12 +294,10 @@ def _kernel(
                 jnp.where(ok, tris[j, 11] + u * tris[j, 14] + v * tris[j, 17], ny),
                 jnp.where(ok, tris[j, 12] + u * tris[j, 15] + v * tris[j, 18], nz),
                 jnp.where(ok, tris[j, 19], mid),
+                jnp.where(ok, jf, bpid),
             )
 
-        def sub_body(si, carry):
-            bt = carry[0]
-            bx0, by0, bz0 = subs[si, 0], subs[si, 1], subs[si, 2]
-            bx1, by1, bz1 = subs[si, 3], subs[si, 4], subs[si, 5]
+        def slab(bx0, by0, bz0, bx1, by1, bz1, bt):
             t1x = (bx0 - o_x) * ivx
             t2x = (bx1 - o_x) * ivx
             t1y = (by0 - o_y) * ivy
@@ -305,20 +310,36 @@ def _kernel(
             far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                           jnp.maximum(t1y, t2y)),
                               jnp.maximum(t1z, t2z))
-            enter = (near <= far) & (far > tmin_v) & (near < bt)
+            # <= so a tie candidate on a run boundary is still visited
+            return (near <= far) & (far > tmin_v) & (near <= bt)
+
+        def sub_body(si, carry):
+            enter = slab(subs[si, 0], subs[si, 1], subs[si, 2],
+                         subs[si, 3], subs[si, 4], subs[si, 5], carry[0])
 
             def run(b):
                 return jax.lax.fori_loop(si * SUB, si * SUB + SUB, tri_body, b)
 
             return jax.lax.cond(jnp.any(enter), run, lambda b: b, carry)
 
-        carry = (b_t[...], b_nx[...], b_ny[...], b_nz[...], b_mid[...])
-        carry = jax.lax.fori_loop(0, TRI_CHUNK // SUB, sub_body, carry)
+        carry = (b_t[...], b_nx[...], b_ny[...], b_nz[...], b_mid[...],
+                 b_pid[...])
+        # level-1 cull: the whole TRI_CHUNK window vs the tile (the sub_body
+        # slab is level 2); dead lanes carry _DEAD best-t and fall out
+        entered = slab(chunks_ref[c, 0], chunks_ref[c, 1], chunks_ref[c, 2],
+                       chunks_ref[c, 3], chunks_ref[c, 4], chunks_ref[c, 5],
+                       carry[0])
+
+        def run_chunk(b):
+            return jax.lax.fori_loop(0, TRI_CHUNK // SUB, sub_body, b)
+
+        carry = jax.lax.cond(jnp.any(entered), run_chunk, lambda b: b, carry)
         b_t[...] = carry[0]
         b_nx[...] = carry[1]
         b_ny[...] = carry[2]
         b_nz[...] = carry[3]
         b_mid[...] = carry[4]
+        b_pid[...] = carry[5]
 
     def _mat_resolve(mid):
         ar = jnp.zeros_like(mid)
@@ -448,9 +469,7 @@ def _kernel(
                 # first-hit exit: poison so later slabs cull this lane
                 return jnp.where(ok, _DEAD, bt)
 
-            def sub_any(si, bt):
-                bx0, by0, bz0 = subs[si, 0], subs[si, 1], subs[si, 2]
-                bx1, by1, bz1 = subs[si, 3], subs[si, 4], subs[si, 5]
+            def shadow_slab(bx0, by0, bz0, bx1, by1, bz1, bt):
                 t1x = (bx0 - o_x) * ivx
                 t2x = (bx1 - o_x) * ivx
                 t1y = (by0 - o_y) * ivy
@@ -463,7 +482,11 @@ def _kernel(
                 far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                               jnp.maximum(t1y, t2y)),
                                   jnp.maximum(t1z, t2z))
-                enter = (near <= far) & (far > tmin_v) & (near < bt)
+                return (near <= far) & (far > tmin_v) & (near < bt)
+
+            def sub_any(si, bt):
+                enter = shadow_slab(subs[si, 0], subs[si, 1], subs[si, 2],
+                                    subs[si, 3], subs[si, 4], subs[si, 5], bt)
 
                 def run(b):
                     return jax.lax.fori_loop(si * SUB, si * SUB + SUB,
@@ -471,8 +494,19 @@ def _kernel(
 
                 return jax.lax.cond(jnp.any(enter), run, lambda b: b, bt)
 
-            b_oc[...] = jax.lax.fori_loop(0, TRI_CHUNK // SUB, sub_any,
-                                          b_oc[...])
+            # level-1 cull of the shadow sweep (occluded lanes carry _DEAD
+            # and fall out; fully-occluded tiles skip the window body)
+            ci = c - nchunks
+            entered = shadow_slab(
+                chunks_ref[ci, 0], chunks_ref[ci, 1], chunks_ref[ci, 2],
+                chunks_ref[ci, 3], chunks_ref[ci, 4], chunks_ref[ci, 5],
+                b_oc[...])
+
+            def run_shadow(b):
+                return jax.lax.fori_loop(0, TRI_CHUNK // SUB, sub_any, b)
+
+            b_oc[...] = jax.lax.cond(jnp.any(entered), run_shadow,
+                                     lambda b: b, b_oc[...])
 
         # ---- final SLS shade (ref RayFunctions.cuh:61-92: ambient +
         # one sun NEE sample, no continuation; emission :168-171)
@@ -749,7 +783,7 @@ def _render_pool(table, sub_aabbs, chunk_aabbs, mat_table, origin, direction,
                  else pltpu.VMEM((8, _LANES), jnp.float32))
     scratch = [scratch_plane] * 6 + [
         pltpu.VMEM((BLOCK_ROWS, _LANES), jnp.int32)  # s_rng
-    ] + [scratch_plane] * 18 + [scratch_plane] * 5 + [sls_plane] * 8 + [
+    ] + [scratch_plane] * 18 + [scratch_plane] * 6 + [sls_plane] * 8 + [
         pltpu.SMEM((2,), jnp.float32)
     ]
 

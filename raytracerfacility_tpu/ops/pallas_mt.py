@@ -35,9 +35,16 @@ steps. Scene tables live wholly in VMEM (A: 4·N·16 f32 — fits ~64k
 triangles in 8 MB; larger scenes fall back to v1/XLA paths for now).
 
 Semantics: identical to ops/pallas_fused.py (same statically specialized
-feature set, same reference cites); intersection accept window matches
-ops/intersect.py::moller_trumbore up to float reassociation (the matmul
-forms are algebraically identical).
+feature set, same reference cites). Precision caveat: the accept window
+is algebraically identical to ops/intersect.py::moller_trumbore, but the
+plane-equation form computes t from the difference of two dot products
+(o·n − v0·n). For scenes positioned far from the world origin those
+products are large and nearly equal, so this form loses substantially
+more precision than the sequential Möller–Trumbore used everywhere else
+(catastrophic cancellation, not mere reassociation): hit t and accept
+decisions can diverge near the _DET_EPS and tmin boundaries. Keep scenes
+near the origin when enabling this path (RTF_TPU_MT=1), or re-center
+geometry and ray origins host-side first.
 """
 
 from __future__ import annotations

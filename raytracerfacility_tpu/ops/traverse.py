@@ -144,7 +144,13 @@ def trace_closest_bvh(
             ok, t, u, v, p = _tri_test(
                 tris, slot, origin, direction, tmin_f, bvh.has_curves
             )
-            ok = ok & do_leaf & (k < count) & (t > tmin_f) & (t < best_t)
+            # exact ties resolve to the lowest ORIGINAL primitive index,
+            # matching the brute-force oracle (argmin over original order),
+            # pallas_brute and the fused kernel — cross-engine determinism
+            # on shared mesh edges, which tie exactly on bounce rays
+            ok = ok & do_leaf & (k < count) & (t > tmin_f) & (
+                (t < best_t) | ((t == best_t) & (p < prim))
+            )
             best_t = jnp.where(ok, t, best_t)
             prim = jnp.where(ok, p, prim)
             uu = jnp.where(ok, u, uu)
