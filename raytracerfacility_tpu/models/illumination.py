@@ -102,17 +102,21 @@ def estimate_illumination(
     probes: LightProbes,
     seed: int = 0,
     push_normal_distance: float = 0.001,
+    probe_offset=0,
 ) -> LightProbes:
     """The __raygen__IE equivalent (ref ptx/IlluminationEstimation.cu:30-129).
 
     Returns probes with ``energy`` (mean of E * |N.L| over all traced
     samples) and ``direction`` (energy-magnitude-weighted mean ray
-    direction, normalized) filled in.
+    direction, normalized) filled in. ``probe_offset`` biases the RNG
+    stream index (the probe's GLOBAL index under probe-axis sharding, so
+    a sharded estimate is bit-identical to the single-device one).
     """
     p = probes.num_probes
     s = config.samples
     # ray pool: (P, 2 faces, S samples)
-    probe_idx = jnp.arange(p, dtype=jnp.uint32)[:, None, None]
+    probe_idx = (jnp.arange(p, dtype=jnp.uint32)[:, None, None]
+                 + jnp.asarray(probe_offset, jnp.uint32))
     face_idx = jnp.arange(2, dtype=jnp.uint32)[None, :, None]
     sample_idx = jnp.arange(s, dtype=jnp.uint32)[None, None, :]
     ray_id = probe_idx * (2 * s) + face_idx * s + sample_idx

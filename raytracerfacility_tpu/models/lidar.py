@@ -23,7 +23,7 @@ from flax import struct
 from raytracerfacility_tpu.models.pathtracer import trace_closest
 from raytracerfacility_tpu.ops.math3d import rotate_about_axis
 from raytracerfacility_tpu.ops.shading import interpolate_hit
-from raytracerfacility_tpu.scene.compiled import CompiledScene, combine_handle_words
+from raytracerfacility_tpu.scene.compiled import CompiledScene
 
 
 @struct.dataclass
@@ -143,10 +143,10 @@ class PointCloudScanner:
         hit = np.asarray(samples.hit)
         self.points = np.asarray(samples.position)[hit] - position
         self.point_colors = np.asarray(samples.color)[hit]
-        words = np.asarray(samples.handle_words)[hit]
-        self.handles = np.array(
-            [combine_handle_words(lo, hi) for lo, hi in words], np.uint64
-        )
+        words = np.asarray(samples.handle_words)[hit].astype(np.uint64)
+        # vectorized combine_handle_words (a per-hit Python loop here was
+        # O(hits) interpreter work on 250k-beam sweeps)
+        self.handles = words[:, 0] | (words[:, 1] << np.uint64(32))
         return int(hit.sum())
 
     def clear(self) -> None:

@@ -1,0 +1,503 @@
+"""Segmented fused kernel with inter-segment ray reordering (round 3).
+
+The round-2 fused mega-kernel (ops/pallas_fused.py) runs the whole frame
+as one pallas_call with grid (tiles, segments, chunks) — but that grid
+finishes ALL segments of a tile before the next tile starts, so rays can
+never move between tiles, and bounce segments (BRDF-sampled directions,
+incoherent across lanes) defeat the tile-granular AABB culling: each
+bounce segment was measured at ~45% of the full O(N*R) sweep while only
+~23% of lane-segments are live (PERF.md round 2).
+
+This module restructures the same math as ONE KERNEL PER SEGMENT with
+the ray state in HBM between segments, which enables the two structural
+wins the round-2 ledger names as the next lever:
+
+* Dead-ray COMPACTION: terminated rays sort to the pool tail, so whole
+  ray tiles go dead and skip every chunk step (grid-step skip measured
+  ~2.1 us vs ~180 us for a live trace step). Average liveness is ~23%
+  at 8 bounces — the sweep cost follows the live fraction instead of
+  paying full price for one straggler lane per tile.
+* COHERENCE grouping: live rays sort by (origin Morton cell, direction
+  octant), so a tile's rays share a spatial cell and direction wedge and
+  the existing two-level (chunk/SUB) AABB culling works on bounce
+  segments the way it does on camera rays.
+
+The inter-segment reorder is XLA-side: one argsort of a packed int32 key
+plus one row-gather of the packed state matrix (measured sub-millisecond
+at 2M rays on v5e — the round-2 38 ms multi-operand-sort number was an
+artifact of the unfenced-dispatch pathology, re-measured round 3 in
+scripts/measure_reorder.py). Per-ray results are BIT-IDENTICAL to
+ops/pallas_fused.py: permutations never change any ray's own arithmetic
+(the best-hit record is a lexicographic (t, prim-id) min — commutative
+across visit order), and the final radiance scatters back through the
+carried original-index plane.
+
+Feature envelope and reference semantics are exactly those of
+ops/pallas_fused.py (triangle-only, Default materials, flat-color Scene
+environment): ray loop + accumulation ptx/CameraRendering.cu:32-147,
+path step RayFunctions.cuh:25-171, BRDF cone sample BSDF.cuh:6-13, miss
+radiance Environment.cuh:147-175 (Scene branch), RNG
+LinearCongruenceGenerator.hpp:28-33. SingleLightSource mode has a single
+segment (no bounce incoherence) and stays on the fused kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytracerfacility_tpu.ops.pallas_fused import (
+    _COLS,
+    _DEAD,
+    _DET_EPS,
+    _HIT_MAX,
+    _TMAX,
+    _BOUNCE_TMIN,
+    _TWO_PI,
+    _lcg,
+    SUB,
+    TRI_CHUNK,
+)
+
+BLOCK_ROWS = int(os.environ.get("RTF_TPU_SEG_ROWS", "64"))
+_LANES = 128
+# origin-cell bits per axis for the reorder key (3 -> 512 cells; key is
+# morton-major so neighbouring cells stay adjacent after the sort)
+MORTON_BITS = int(os.environ.get("RTF_TPU_SEG_MBITS", "3"))
+
+
+def _kernel(
+    tris, subs, chunks_ref, mats, envc,
+    # per-tile ray-state inputs (VMEM planes)
+    i_ox, i_oy, i_oz, i_dx, i_dy, i_dz, i_rng, i_act,
+    i_tr, i_tg, i_tb, i_rr, i_rg, i_rb,
+    # outputs: updated state (14) [+ 9 first-hit AOVs when seg == 0]
+    *refs,
+    bounces: int,
+    seg: int,
+    num_mats: int,
+    nchunks: int,
+):
+    (o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_rng, o_act,
+     o_tr, o_tg, o_tb, o_rr, o_rg, o_rb) = refs[:14]
+    if seg == 0:
+        (a_nx, a_ny, a_nz, a_ar, a_ag, a_ab, a_px, a_py, a_pz) = refs[14:23]
+        b_t, b_nx, b_ny, b_nz, b_mid, b_pid, live = refs[23:]
+    else:
+        b_t, b_nx, b_ny, b_nz, b_mid, b_pid, live = refs[14:]
+
+    c = pl.program_id(1)
+
+    # this segment's trace tmin (ref: camera rays start at envc[10] —
+    # 0 for the camera, the estimator's 1e-3 probe offset for pools —
+    # and bounce rays at the fixed 1e-3 self-intersection offset)
+    if seg == 0:
+        tmin_v = jnp.zeros((BLOCK_ROWS, _LANES), jnp.float32) + envc[10]
+    else:
+        tmin_v = jnp.zeros((BLOCK_ROWS, _LANES), jnp.float32) + _BOUNCE_TMIN
+
+    @pl.when(c == 0)
+    def _segment_start():
+        act = i_act[...]
+        live[0] = jnp.sum(act)
+        b_t[...] = jnp.where(act > 0.0, _TMAX, _DEAD)
+        zero = jnp.zeros_like(act)
+        b_nx[...] = zero
+        b_ny[...] = zero
+        b_nz[...] = zero
+        b_mid[...] = zero
+        b_pid[...] = zero + 3.4e38
+
+    any_live = live[0] > 0.0
+
+    @pl.when(any_live)
+    def _trace_chunk():
+        o_x, o_y, o_z = i_ox[...], i_oy[...], i_oz[...]
+        d_x, d_y, d_z = i_dx[...], i_dy[...], i_dz[...]
+        eps = 1e-20
+        ivx = 1.0 / jnp.where(jnp.abs(d_x) < eps,
+                              jnp.where(d_x < 0, -eps, eps), d_x)
+        ivy = 1.0 / jnp.where(jnp.abs(d_y) < eps,
+                              jnp.where(d_y < 0, -eps, eps), d_y)
+        ivz = 1.0 / jnp.where(jnp.abs(d_z) < eps,
+                              jnp.where(d_z < 0, -eps, eps), d_z)
+
+        def tri_body(j, carry):
+            bt, nx, ny, nz, mid, bpid = carry
+            v0x, v0y, v0z = tris[j, 0], tris[j, 1], tris[j, 2]
+            e1x, e1y, e1z = tris[j, 3], tris[j, 4], tris[j, 5]
+            e2x, e2y, e2z = tris[j, 6], tris[j, 7], tris[j, 8]
+            pvx = d_y * e2z - d_z * e2y
+            pvy = d_z * e2x - d_x * e2z
+            pvz = d_x * e2y - d_y * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            ok_det = jnp.abs(det) > _DET_EPS
+            inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
+            tvx = o_x - v0x
+            tvy = o_y - v0y
+            tvz = o_z - v0z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv_det
+            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            jf = tris[j, 9]
+            # exact ties -> lowest ORIGINAL primitive index (cross-engine
+            # rule; also what makes the best-hit record visit-order
+            # independent, the invariant the reorder relies on)
+            ok = (
+                ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > tmin_v) & ((t < bt) | ((t == bt) & (jf < bpid)))
+            )
+            return (
+                jnp.where(ok, t, bt),
+                jnp.where(ok, tris[j, 10] + u * tris[j, 13] + v * tris[j, 16], nx),
+                jnp.where(ok, tris[j, 11] + u * tris[j, 14] + v * tris[j, 17], ny),
+                jnp.where(ok, tris[j, 12] + u * tris[j, 15] + v * tris[j, 18], nz),
+                jnp.where(ok, tris[j, 19], mid),
+                jnp.where(ok, jf, bpid),
+            )
+
+        def slab(bx0, by0, bz0, bx1, by1, bz1, bt):
+            t1x = (bx0 - o_x) * ivx
+            t2x = (bx1 - o_x) * ivx
+            t1y = (by0 - o_y) * ivy
+            t2y = (by1 - o_y) * ivy
+            t1z = (bz0 - o_z) * ivz
+            t2z = (bz1 - o_z) * ivz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                           jnp.minimum(t1y, t2y)),
+                               jnp.minimum(t1z, t2z))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                          jnp.maximum(t1y, t2y)),
+                              jnp.maximum(t1z, t2z))
+            return (near <= far) & (far > tmin_v) & (near <= bt)
+
+        def sub_body(si, carry):
+            enter = slab(subs[si, 0], subs[si, 1], subs[si, 2],
+                         subs[si, 3], subs[si, 4], subs[si, 5], carry[0])
+
+            def run(b):
+                return jax.lax.fori_loop(si * SUB, si * SUB + SUB, tri_body, b)
+
+            return jax.lax.cond(jnp.any(enter), run, lambda b: b, carry)
+
+        carry = (b_t[...], b_nx[...], b_ny[...], b_nz[...], b_mid[...],
+                 b_pid[...])
+        entered = slab(chunks_ref[c, 0], chunks_ref[c, 1], chunks_ref[c, 2],
+                       chunks_ref[c, 3], chunks_ref[c, 4], chunks_ref[c, 5],
+                       carry[0])
+
+        def run_chunk(b):
+            return jax.lax.fori_loop(0, TRI_CHUNK // SUB, sub_body, b)
+
+        carry = jax.lax.cond(jnp.any(entered), run_chunk, lambda b: b, carry)
+        b_t[...] = carry[0]
+        b_nx[...] = carry[1]
+        b_ny[...] = carry[2]
+        b_nz[...] = carry[3]
+        b_mid[...] = carry[4]
+        b_pid[...] = carry[5]
+
+    @pl.when(c == nchunks - 1)
+    def _shade():
+        act = i_act[...] > 0.0
+        bt = b_t[...]
+        hitm = act & (bt < _HIT_MAX)
+        missm = act & ~(bt < _HIT_MAX)
+        tr, tg, tb = i_tr[...], i_tg[...], i_tb[...]
+        rr, rg, rb = i_rr[...], i_rg[...], i_rb[...]
+
+        er, eg, eb = envc[0], envc[1], envc[2]
+        rr = jnp.where(missm, rr + tr * er, rr)
+        rg = jnp.where(missm, rg + tg * eg, rg)
+        rb = jnp.where(missm, rb + tb * eb, rb)
+
+        def mat_resolve(mid):
+            ar = jnp.zeros_like(mid)
+            ag = jnp.zeros_like(mid)
+            ab = jnp.zeros_like(mid)
+            ro = jnp.zeros_like(mid)
+            me = jnp.zeros_like(mid)
+            em = jnp.zeros_like(mid)
+            for k in range(num_mats):
+                is_k = mid == float(k)
+                ar = jnp.where(is_k, mats[k, 0], ar)
+                ag = jnp.where(is_k, mats[k, 1], ag)
+                ab = jnp.where(is_k, mats[k, 2], ab)
+                ro = jnp.where(is_k, mats[k, 3], ro)
+                me = jnp.where(is_k, mats[k, 4], me)
+                em = jnp.where(is_k, mats[k, 5], em)
+            return ar, ag, ab, ro, me, em
+
+        ar, ag, ab, ro, me, em = mat_resolve(b_mid[...])
+
+        nx, ny, nz = b_nx[...], b_ny[...], b_nz[...]
+        inv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+        nx, ny, nz = nx * inv, ny * inv, nz * inv
+        d_x, d_y, d_z = i_dx[...], i_dy[...], i_dz[...]
+        dp = d_x * nx + d_y * ny + d_z * nz
+        flip = dp > 0.0
+        nx = jnp.where(flip, -nx, nx)
+        ny = jnp.where(flip, -ny, ny)
+        nz = jnp.where(flip, -nz, nz)
+
+        rr = jnp.where(hitm, rr + tr * em * ar, rr)
+        rg = jnp.where(hitm, rg + tg * em * ag, rg)
+        rb = jnp.where(hitm, rb + tb * em * ab, rb)
+
+        o_x, o_y, o_z = i_ox[...], i_oy[...], i_oz[...]
+        hx = o_x + bt * d_x
+        hy = o_y + bt * d_y
+        hz = o_z + bt * d_z
+
+        if seg == 0:
+            # first-hit AOVs finalize at segment 0: in this feature
+            # envelope (no alpha/BSSRDF re-spawn) every ray either
+            # records its first event here or terminates
+            a_nx[...] = jnp.where(hitm, nx, 0.0)
+            a_ny[...] = jnp.where(hitm, ny, 0.0)
+            a_nz[...] = jnp.where(hitm, nz, 0.0)
+            a_ar[...] = jnp.where(hitm, ar, jnp.where(missm, er, 0.0))
+            a_ag[...] = jnp.where(hitm, ag, jnp.where(missm, eg, 0.0))
+            a_ab[...] = jnp.where(hitm, ab, jnp.where(missm, eb, 0.0))
+            nohit = jnp.zeros_like(hx) + 999999.0
+            a_px[...] = jnp.where(hitm, hx, nohit)
+            a_py[...] = jnp.where(hitm, hy, nohit)
+            a_pz[...] = jnp.where(hitm, hz, nohit)
+
+        # every live ray at segment s carries hit_count == s, so the
+        # continuation bound is static (ref RayFunctions.cuh:93-95)
+        cont = hitm if (seg + 1) <= bounces else jnp.zeros_like(hitm)
+
+        dpf = d_x * nx + d_y * ny + d_z * nz
+        rx = d_x - 2.0 * dpf * nx
+        ry = d_y - 2.0 * dpf * ny
+        rz = d_z - 2.0 * dpf * nz
+        rng = i_rng[...]
+        rng2, u_cos = _lcg(rng)
+        rng2, u_phi = _lcg(rng2)
+        one_minus = 1.0 - me
+        cos_t = 1.0 - u_cos * one_minus * one_minus
+        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+        phi = _TWO_PI * u_phi
+        lx = jnp.cos(phi) * sin_t
+        ly = jnp.sin(phi) * sin_t
+        lz = cos_t
+        use_z = jnp.abs(rx) > 0.99
+        hx_ = jnp.where(use_z, 0.0, 1.0)
+        hz_ = jnp.where(use_z, 1.0, 0.0)
+        tx = ry * hz_
+        ty = rz * hx_ - rx * hz_
+        tz = -ry * hx_
+        tinv = jax.lax.rsqrt(jnp.maximum(tx * tx + ty * ty + tz * tz, 1e-20))
+        tx, ty, tz = tx * tinv, ty * tinv, tz * tinv
+        bx = ry * tz - rz * ty
+        by = rz * tx - rx * tz
+        bz = rx * ty - ry * tx
+        binv = jax.lax.rsqrt(jnp.maximum(bx * bx + by * by + bz * bz, 1e-20))
+        bx, by, bz = bx * binv, by * binv, bz * binv
+        ndx = tx * lx + bx * ly + rx * lz
+        ndy = ty * lx + by * ly + ry * lz
+        ndz = tz * lx + bz * ly + rz * lz
+
+        f = jnp.where(me >= 0.0, (me + 2.0) / (me + 1.0), 1.0)
+        ndotl = jnp.abs(nx * ndx + ny * ndy + nz * ndz)
+        w = jnp.clip(ndotl * ro + (1.0 - ro) * f, 0.0, 1.0)
+
+        o_tr[...] = jnp.where(cont, tr * ar * w, tr)
+        o_tg[...] = jnp.where(cont, tg * ag * w, tg)
+        o_tb[...] = jnp.where(cont, tb * ab * w, tb)
+        o_ox[...] = jnp.where(cont, hx, o_x)
+        o_oy[...] = jnp.where(cont, hy, o_y)
+        o_oz[...] = jnp.where(cont, hz, o_z)
+        o_dx[...] = jnp.where(cont, ndx, d_x)
+        o_dy[...] = jnp.where(cont, ndy, d_y)
+        o_dz[...] = jnp.where(cont, ndz, d_z)
+        o_rng[...] = jnp.where(cont, rng2, rng)
+        o_rr[...] = rr
+        o_rg[...] = rg
+        o_rb[...] = rb
+        o_act[...] = cont.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bounces", "seg", "rows", "interpret"),
+)
+def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
+                  bounces: int, seg: int, rows: int, interpret: bool):
+    """One trace+shade segment over planar state ((rows, 128) planes).
+
+    ``state`` = (ox, oy, oz, dx, dy, dz, rng(i32), act, tr, tg, tb,
+    rr, rg, rb). Returns (new_state, aovs-or-None, live_count)."""
+    tiles = rows // BLOCK_ROWS
+    nchunks = table.shape[0] // TRI_CHUNK
+    grid = (tiles, nchunks)
+
+    ray_spec = pl.BlockSpec((BLOCK_ROWS, _LANES), lambda i, c: (i, 0))
+    tri_spec = pl.BlockSpec((TRI_CHUNK, _COLS), lambda i, c: (c, 0),
+                            memory_space=pltpu.SMEM)
+    sub_spec = pl.BlockSpec((TRI_CHUNK // SUB, 8), lambda i, c: (c, 0),
+                            memory_space=pltpu.SMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    plane = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    iplane = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
+    out_shape = (plane,) * 6 + (iplane,) + (plane,) * 7
+    n_out = 14
+    if seg == 0:
+        out_shape = out_shape + (plane,) * 9
+        n_out += 9
+
+    scratch = [pltpu.VMEM((BLOCK_ROWS, _LANES), jnp.float32)] * 6 + [
+        pltpu.SMEM((1,), jnp.float32)
+    ]
+
+    kernel = functools.partial(
+        _kernel, bounces=bounces, seg=seg,
+        num_mats=int(mat_table.shape[0]), nchunks=nchunks,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=(tri_spec, sub_spec, smem_spec, smem_spec, smem_spec)
+        + (ray_spec,) * 14,
+        out_specs=(ray_spec,) * n_out,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, *state)
+    new_state = outs[:14]
+    aovs = outs[14:23] if seg == 0 else None
+    # live count this segment = rays active at its start
+    live = jnp.sum(state[7])
+    return new_state, aovs, live
+
+
+def _morton_key(ox, oy, oz, dx, dy, dz, act, lo, inv_extent):
+    """int32 reorder key: morton-major origin cell, direction octant in
+    the low 3 bits; dead rays get INT32_MAX-ish keys so a stable argsort
+    compacts them to the pool tail."""
+    m = MORTON_BITS
+    scale = float(1 << m)
+    qx = jnp.clip(((ox - lo[0]) * inv_extent[0] * scale).astype(jnp.int32),
+                  0, (1 << m) - 1)
+    qy = jnp.clip(((oy - lo[1]) * inv_extent[1] * scale).astype(jnp.int32),
+                  0, (1 << m) - 1)
+    qz = jnp.clip(((oz - lo[2]) * inv_extent[2] * scale).astype(jnp.int32),
+                  0, (1 << m) - 1)
+    code = jnp.zeros_like(qx)
+    for b in range(m):
+        code = code | (((qx >> b) & 1) << (3 * b + 2))
+        code = code | (((qy >> b) & 1) << (3 * b + 1))
+        code = code | (((qz >> b) & 1) << (3 * b))
+    octant = ((dx < 0).astype(jnp.int32) * 4
+              + (dy < 0).astype(jnp.int32) * 2
+              + (dz < 0).astype(jnp.int32))
+    key = (code << 3) | octant
+    return jnp.where(act > 0.0, key, jnp.int32(2147483647))
+
+
+@functools.partial(jax.jit, static_argnames=("bounces", "interpret"))
+def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
+                        direction, rng, valid, env_vec, bounces: int,
+                        interpret: bool = False):
+    r = origin.shape[0]
+    block = BLOCK_ROWS * _LANES
+    pad = (-r) % block
+    if pad:
+        origin = jnp.concatenate([origin, jnp.zeros((pad, 3), jnp.float32)], 0)
+        direction = jnp.concatenate(
+            [direction,
+             jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+                      (pad, 1))], 0)
+        rng = jnp.concatenate([rng, jnp.zeros((pad,), jnp.uint32)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), jnp.float32)])
+    rp = r + pad
+    rows = rp // _LANES
+
+    def plane(x):
+        return x.reshape(rows, _LANES)
+
+    zero = jnp.zeros((rows, _LANES), jnp.float32)
+    one = zero + 1.0
+    state = (
+        plane(origin[:, 0]), plane(origin[:, 1]), plane(origin[:, 2]),
+        plane(direction[:, 0]), plane(direction[:, 1]), plane(direction[:, 2]),
+        plane(jax.lax.bitcast_convert_type(rng, jnp.int32)), plane(valid),
+        one, one, one,  # throughput
+        zero, zero, zero,  # radiance
+    )
+
+    # scene bounds for the reorder key, from the chunk AABB table (pad
+    # chunks carry inverted boxes; mask them out)
+    cvalid = chunk_aabbs[:, 0] < 1e37
+    big = 3.4e38
+    lo = jnp.min(jnp.where(cvalid[:, None], chunk_aabbs[:, 0:3], big), axis=0)
+    hi = jnp.max(jnp.where(cvalid[:, None], chunk_aabbs[:, 3:6], -big), axis=0)
+    inv_extent = 1.0 / jnp.maximum(hi - lo, 1e-6)
+
+    state, aovs, live0 = _segment_call(
+        table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
+        bounces=bounces, seg=0, rows=rows, interpret=interpret)
+    total_live = live0
+
+    orig_idx = jnp.arange(rp, dtype=jnp.int32).reshape(rows, _LANES)
+    for s in range(1, bounces + 1):
+        key = _morton_key(state[0], state[1], state[2],
+                          state[3], state[4], state[5], state[7],
+                          lo, inv_extent)
+        perm = jnp.argsort(key.reshape(rp), stable=True)
+        fstate = jnp.stack(
+            [p.reshape(rp) for p in state[:6] + state[7:]], axis=-1)[perm]
+        istate = jnp.stack(
+            [state[6].reshape(rp), orig_idx.reshape(rp)], axis=-1)[perm]
+        state = (
+            *(plane(fstate[:, i]) for i in range(6)),
+            plane(istate[:, 0]), plane(fstate[:, 6]),
+            *(plane(fstate[:, i]) for i in range(7, 13)),
+        )
+        orig_idx = plane(istate[:, 1])
+        state, _, live_s = _segment_call(
+            table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
+            bounces=bounces, seg=s, rows=rows, interpret=interpret)
+        total_live = total_live + live_s
+
+    # scatter radiance back to original ray order
+    idx = orig_idx.reshape(rp)
+    def unperm(p):
+        return jnp.zeros((rp,), jnp.float32).at[idx].set(p.reshape(rp))
+
+    radiance = jnp.stack([unperm(state[11]), unperm(state[12]),
+                          unperm(state[13])], axis=-1)[:r]
+
+    def unplane3(a, b, c):
+        return jnp.stack([a.reshape(rp)[:r], b.reshape(rp)[:r],
+                          c.reshape(rp)[:r]], axis=-1)
+
+    normal = unplane3(*aovs[0:3])
+    albedo = unplane3(*aovs[3:6])
+    position = unplane3(*aovs[6:9])
+    return radiance, normal, albedo, position, total_live
+
+
+def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
+                       bounces: int, interpret: bool | None = None):
+    """Public entry; signature mirrors pallas_fused.render_pool_fused
+    (Scene lighting only — SLS is single-segment and stays fused)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    env_vec = jnp.zeros((16,), jnp.float32)
+    env_vec = env_vec.at[: env_rgb.shape[0]].set(env_rgb)
+    table, sub_aabbs, chunk_aabbs, mat_table = tables
+    return _render_pool_sorted(
+        table, sub_aabbs, chunk_aabbs, mat_table, origin, direction, rng,
+        valid, env_vec, bounces=bounces, interpret=bool(interpret),
+    )

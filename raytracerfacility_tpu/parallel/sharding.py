@@ -125,3 +125,108 @@ def render_frame_sharded(
     )
     frame = jax.tree.map(jax.device_put, frame, frame_sharding)
     return step(scene, camera, env, frame)
+
+
+def _pad_axis0(tree, pad: int):
+    """Zero-pad every leaf's leading axis by ``pad`` rows."""
+    return jax.tree.map(
+        lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+        ),
+        tree,
+    )
+
+
+def estimate_illumination_sharded(
+    scene,
+    env,
+    config: RenderConfig,
+    probes,
+    mesh: Mesh,
+    seed: int = 0,
+    push_normal_distance: float = 0.001,
+):
+    """Probe-axis SPMD illumination estimate (the flagship batch workload,
+    BASELINE config 4): probes shard over EVERY device of the mesh (both
+    named axes), the scene replicates, and each shard runs the standard
+    estimator with its global probe offset so RNG streams — and therefore
+    energies — are bit-identical to the single-device launch. Probes are
+    independent, so the only communication is the initial shard scatter
+    and final gather (no collective in the hot loop)."""
+    from raytracerfacility_tpu.models.illumination import (
+        LightProbes,
+        estimate_illumination,
+    )
+    from jax import shard_map
+
+    n = mesh.size
+    p = probes.num_probes
+    pad = (-p) % n
+    padded = _pad_axis0(probes, pad) if pad else probes
+    local = (p + pad) // n
+    axes = tuple(mesh.axis_names)
+    spec = P(axes)
+    probes_spec = jax.tree.map(lambda _: spec, padded)
+    n_inner = mesh.shape[axes[1]] if len(axes) > 1 else 1
+
+    @jax.jit
+    def step(scene, env, probes, seed):
+        def shard_fn(scene, env, probes, seed):
+            idx = jax.lax.axis_index(axes[0])
+            if len(axes) > 1:
+                idx = idx * n_inner + jax.lax.axis_index(axes[1])
+            return estimate_illumination(
+                scene, env, config, probes, seed,
+                push_normal_distance, probe_offset=idx * local,
+            )
+
+        return shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), probes_spec, P()),
+            out_specs=probes_spec,
+            check_vma=False,
+        )(scene, env, probes, seed)
+
+    out = step(scene, env, padded, jnp.asarray(seed, jnp.uint32))
+    if pad:
+        out = jax.tree.map(lambda x: x[:p], out)
+    return out
+
+
+def scan_point_cloud_sharded(scene, start, direction, mesh: Mesh):
+    """Beam-axis SPMD LiDAR sweep (ref launch ScanPointCloud,
+    RayTracer.cu:758-795): beams shard over every device; the single
+    closest-hit query needs no RNG and no collectives, so shards are
+    exactly the single-device results restitched."""
+    from raytracerfacility_tpu.models.lidar import scan_point_cloud
+    from jax import shard_map
+
+    n = mesh.size
+    r = start.shape[0]
+    pad = (-r) % n
+    if pad:
+        # pad rays point along +z from far outside the scene: guaranteed
+        # valid direction, results sliced off below
+        start = jnp.concatenate(
+            [start, jnp.full((pad, 3), 1e8, jnp.float32)], axis=0)
+        direction = jnp.concatenate(
+            [direction,
+             jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32),
+                      (pad, 1))], axis=0)
+    spec = P(tuple(mesh.axis_names))
+
+    @jax.jit
+    def step(scene, start, direction):
+        return shard_map(
+            lambda sc, st, d: scan_point_cloud(sc, st, d),
+            mesh=mesh,
+            in_specs=(P(), spec, spec),
+            out_specs=spec,
+            check_vma=False,
+        )(scene, start, direction)
+
+    out = step(scene, start, direction)
+    if pad:
+        out = jax.tree.map(lambda x: x[:r], out)
+    return out
