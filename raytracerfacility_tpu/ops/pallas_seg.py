@@ -78,14 +78,14 @@ def _kernel(
     i_tr, i_tg, i_tb, i_rr, i_rg, i_rb,
     # outputs: updated state (14) [+ 9 first-hit AOVs when seg == 0]
     *refs,
-    bounces: int,
-    seg: int,
+    is_first: bool,
+    has_cont: bool,
     num_mats: int,
     nchunks: int,
 ):
     (o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_rng, o_act,
      o_tr, o_tg, o_tb, o_rr, o_rg, o_rb) = refs[:14]
-    if seg == 0:
+    if is_first:
         (a_nx, a_ny, a_nz, a_ar, a_ag, a_ab, a_px, a_py, a_pz) = refs[14:23]
         b_t, b_nx, b_ny, b_nz, b_mid, b_pid, live = refs[23:]
     else:
@@ -96,7 +96,7 @@ def _kernel(
     # this segment's trace tmin (ref: camera rays start at envc[10] —
     # 0 for the camera, the estimator's 1e-3 probe offset for pools —
     # and bounce rays at the fixed 1e-3 self-intersection offset)
-    if seg == 0:
+    if is_first:
         tmin_v = jnp.zeros((BLOCK_ROWS, _LANES), jnp.float32) + envc[10]
     else:
         tmin_v = jnp.zeros((BLOCK_ROWS, _LANES), jnp.float32) + _BOUNCE_TMIN
@@ -257,7 +257,7 @@ def _kernel(
         hy = o_y + bt * d_y
         hz = o_z + bt * d_z
 
-        if seg == 0:
+        if is_first:
             # first-hit AOVs finalize at segment 0: in this feature
             # envelope (no alpha/BSSRDF re-spawn) every ray either
             # records its first event here or terminates
@@ -273,8 +273,9 @@ def _kernel(
             a_pz[...] = jnp.where(hitm, hz, nohit)
 
         # every live ray at segment s carries hit_count == s, so the
-        # continuation bound is static (ref RayFunctions.cuh:93-95)
-        cont = hitm if (seg + 1) <= bounces else jnp.zeros_like(hitm)
+        # continuation bound is static (ref RayFunctions.cuh:93-95);
+        # middle segments all compile to the same kernel
+        cont = hitm if has_cont else jnp.zeros_like(hitm)
 
         dpf = d_x * nx + d_y * ny + d_z * nz
         rx = d_x - 2.0 * dpf * nx
@@ -329,14 +330,19 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("bounces", "seg", "rows", "interpret"),
+    static_argnames=("is_first", "has_cont", "rows", "interpret"),
 )
 def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
-                  bounces: int, seg: int, rows: int, interpret: bool):
+                  is_first: bool, has_cont: bool, rows: int,
+                  interpret: bool):
     """One trace+shade segment over planar state ((rows, 128) planes).
 
     ``state`` = (ox, oy, oz, dx, dy, dz, rng(i32), act, tr, tg, tb,
-    rr, rg, rb). Returns (new_state, aovs-or-None, live_count)."""
+    rr, rg, rb). Returns (new_state, aovs-or-None, live_count).
+    Only THREE kernel specializations exist per scene shape — first /
+    middle / last segment — because every live ray at segment s carries
+    hit_count == s (remote Mosaic compiles cost 30-300 s each; a
+    per-segment-index specialization would pay that 9x per config)."""
     tiles = rows // BLOCK_ROWS
     nchunks = table.shape[0] // TRI_CHUNK
     grid = (tiles, nchunks)
@@ -352,7 +358,7 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
     iplane = jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)
     out_shape = (plane,) * 6 + (iplane,) + (plane,) * 7
     n_out = 14
-    if seg == 0:
+    if is_first:
         out_shape = out_shape + (plane,) * 9
         n_out += 9
 
@@ -361,7 +367,7 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
     ]
 
     kernel = functools.partial(
-        _kernel, bounces=bounces, seg=seg,
+        _kernel, is_first=is_first, has_cont=has_cont,
         num_mats=int(mat_table.shape[0]), nchunks=nchunks,
     )
     outs = pl.pallas_call(
@@ -375,7 +381,7 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
         interpret=interpret,
     )(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, *state)
     new_state = outs[:14]
-    aovs = outs[14:23] if seg == 0 else None
+    aovs = outs[14:23] if is_first else None
     # live count this segment = rays active at its start
     live = jnp.sum(state[7])
     return new_state, aovs, live
@@ -446,7 +452,8 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
 
     state, aovs, live0 = _segment_call(
         table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
-        bounces=bounces, seg=0, rows=rows, interpret=interpret)
+        is_first=True, has_cont=bounces >= 1, rows=rows,
+        interpret=interpret)
     total_live = live0
 
     orig_idx = jnp.arange(rp, dtype=jnp.int32).reshape(rows, _LANES)
@@ -467,7 +474,8 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
         orig_idx = plane(istate[:, 1])
         state, _, live_s = _segment_call(
             table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
-            bounces=bounces, seg=s, rows=rows, interpret=interpret)
+            is_first=False, has_cont=s < bounces, rows=rows,
+            interpret=interpret)
         total_live = total_live + live_s
 
     # scatter radiance back to original ray order

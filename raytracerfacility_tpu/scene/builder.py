@@ -215,6 +215,106 @@ def _bake_analytic_curves(geom, transform: np.ndarray, mode: str):
     }
 
 
+def _geometry_object_bake(geom):
+    """Corner-gather one geometry in OBJECT space (no transform).
+
+    This is the host-side cost of a bake; it happens once per geometry
+    VERSION and is shared by every instance of that geometry (the
+    reference shares one compacted BLAS across instances the same way,
+    ref RayTracer.cu:1618-1715). Returns a dict of numpy corner arrays,
+    or None. Curves and skinned meshes return None here (their bake
+    depends on transform scale / bone state and keeps the per-part
+    path)."""
+    if geom.renderer_type in (RendererType.CURVE, RendererType.SKINNED):
+        return None
+    mesh = geom.mesh
+    if mesh is None or mesh.num_triangles == 0:
+        return None
+    from raytracerfacility_tpu import native
+
+    ident = np.eye(4, dtype=np.float32)
+    packed = native.pack_corners(
+        {
+            "positions": mesh.positions,
+            "normals": mesh.normals,
+            "tangents": mesh.tangents,
+            "colors": mesh.colors,
+            "tex_coords": mesh.tex_coords,
+            "data": mesh.data,
+        },
+        mesh.triangles,
+        ident,
+    )
+    if packed is None:
+        tris = mesh.triangles
+        c0, c1, c2 = tris[:, 0], tris[:, 1], tris[:, 2]
+        p = mesh.positions
+        v0 = p[c0]
+        packed = {
+            "v0": v0,
+            "e1": p[c1] - v0,
+            "e2": p[c2] - v0,
+            "normal": np.stack([mesh.normals[c0], mesh.normals[c1],
+                                mesh.normals[c2]], axis=1),
+            "tangent": np.stack([mesh.tangents[c0], mesh.tangents[c1],
+                                 mesh.tangents[c2]], axis=1),
+            "tex_coord": np.stack([mesh.tex_coords[c0], mesh.tex_coords[c1],
+                                   mesh.tex_coords[c2]], axis=1),
+            "color": np.stack([mesh.colors[c0], mesh.colors[c1],
+                               mesh.colors[c2]], axis=1),
+            "data": np.stack([mesh.data[c0], mesh.data[c1],
+                              mesh.data[c2]], axis=1),
+        }
+    packed["kind"] = np.zeros(mesh.num_triangles, np.int32)
+    return packed
+
+
+def _transform_part_device(obj: dict, matrices: np.ndarray,
+                           instance_colors=None) -> dict:
+    """Apply one or many instance transforms to an object-space bake ON
+    DEVICE (the vertex-prep-kernel equivalent, ref CopyVertices*Kernel
+    RayTracer.cu:1148-1192): positions rotate+translate, edge vectors and
+    normal/tangent corners rotate (plain matrix like the reference,
+    RayDataDefinations.hpp:375). ``matrices`` is (4,4) or (I,4,4); the
+    batched form replaces the reference's per-instance vertex copy loop
+    with one einsum and makes bake time sublinear in instance count
+    (device work is bandwidth-bound, host work is O(1) per rebuild)."""
+    m = jnp.asarray(matrices, jnp.float32)
+    single = m.ndim == 2
+    if single:
+        m = m[None]
+    rot = m[:, :3, :3]  # (I, 3, 3)
+    tr = m[:, :3, 3]  # (I, 3)
+    i = rot.shape[0]
+
+    def rot_pts(x):  # (T, 3) -> (I*T, 3)
+        return jnp.einsum("ipq,tq->itp", rot, jnp.asarray(x)).reshape(-1, 3)
+
+    def rot_corners(x):  # (T, 3, 3) -> (I*T, 3, 3)
+        return jnp.einsum("ipq,tcq->itcp", rot,
+                          jnp.asarray(x)).reshape(-1, 3, 3)
+
+    out = {
+        "v0": rot_pts(obj["v0"]) + jnp.repeat(tr, obj["v0"].shape[0], axis=0),
+        "e1": rot_pts(obj["e1"]),
+        "e2": rot_pts(obj["e2"]),
+        "normal": rot_corners(obj["normal"]),
+        "tangent": rot_corners(obj["tangent"]),
+        "tex_coord": jnp.tile(jnp.asarray(obj["tex_coord"]), (i, 1, 1)),
+        "data": jnp.tile(jnp.asarray(obj["data"]), (i, 1, 1)),
+        "kind": jnp.tile(jnp.asarray(obj["kind"]), (i,)),
+    }
+    if instance_colors is not None and len(instance_colors):
+        # per-instance color override (ref RayTracer.cu:1169-1173)
+        col = jnp.repeat(jnp.asarray(instance_colors, jnp.float32),
+                         obj["color"].shape[0], axis=0)
+        out["color"] = jnp.broadcast_to(
+            col[:, None, :], (col.shape[0], 3, col.shape[1]))
+    else:
+        out["color"] = jnp.tile(jnp.asarray(obj["color"]), (i, 1, 1))
+    return out
+
+
 def _geometry_world_mesh(geom, transform: np.ndarray):
     """Bake one geometry under one instance transform into world-space
     per-corner primitive arrays. Returns dict of numpy arrays."""
@@ -243,57 +343,32 @@ def _geometry_world_mesh(geom, transform: np.ndarray):
             geom.bone_ids, geom.bone_weights, geom.bone_matrices,
         )
 
-    if geom.renderer_type == RendererType.INSTANCED:
-        mats = np.asarray(geom.instance_matrices, np.float32)
-        all_pos, all_nrm, all_tan, all_col = [], [], [], []
-        for p_idx in range(mats.shape[0]):
-            m = transform @ mats[p_idx]
-            all_pos.append(_transform_points(m, positions))
-            all_nrm.append(_transform_dirs(m, normals_v))
-            all_tan.append(_transform_dirs(m, tangents_v))
-            if geom.instance_colors is not None and len(geom.instance_colors):
-                # per-instance color override (ref RayTracer.cu:1169-1173)
-                col = np.tile(
-                    np.asarray(geom.instance_colors, np.float32)[p_idx],
-                    (positions.shape[0], 1),
-                )
-            else:
-                col = colors_v
-            all_col.append(col)
-        n_per = positions.shape[0]
-        tris = np.concatenate(
-            [mesh.triangles + i * n_per for i in range(mats.shape[0])], axis=0
-        )
-        positions = np.concatenate(all_pos, axis=0)
-        normals_v = np.concatenate(all_nrm, axis=0)
-        tangents_v = np.concatenate(all_tan, axis=0)
-        colors_v = np.concatenate(all_col, axis=0)
-        uvs_v = np.tile(uvs_v, (mats.shape[0], 1))
-        data_v = np.tile(data_v, (mats.shape[0], 1))
-    else:
-        # fused native bake (transform + corner gather in one C++ pass,
-        # raytracerfacility_tpu/native); numpy fallback below
-        from raytracerfacility_tpu import native
+    # Instanced/Default meshes go through _geometry_object_bake +
+    # _transform_part_device (shared object bake, batched device
+    # transform); this host path serves skinned meshes and tessellated
+    # curves. Fused native bake (transform + corner gather in one C++
+    # pass, raytracerfacility_tpu/native); numpy fallback below.
+    from raytracerfacility_tpu import native
 
-        packed = native.pack_corners(
-            {
-                "positions": positions,
-                "normals": normals_v,
-                "tangents": tangents_v,
-                "colors": colors_v,
-                "tex_coords": uvs_v,
-                "data": data_v,
-            },
-            mesh.triangles,
-            np.asarray(transform, np.float32),
-        )
-        if packed is not None:
-            packed["kind"] = np.zeros(mesh.num_triangles, np.int32)
-            return packed
-        tris = mesh.triangles
-        positions = _transform_points(transform, positions)
-        normals_v = _transform_dirs(transform, normals_v)
-        tangents_v = _transform_dirs(transform, tangents_v)
+    packed = native.pack_corners(
+        {
+            "positions": positions,
+            "normals": normals_v,
+            "tangents": tangents_v,
+            "colors": colors_v,
+            "tex_coords": uvs_v,
+            "data": data_v,
+        },
+        mesh.triangles,
+        np.asarray(transform, np.float32),
+    )
+    if packed is not None:
+        packed["kind"] = np.zeros(mesh.num_triangles, np.int32)
+        return packed
+    tris = mesh.triangles
+    positions = _transform_points(transform, positions)
+    normals_v = _transform_dirs(transform, normals_v)
+    tangents_v = _transform_dirs(transform, tangents_v)
 
     c0, c1, c2 = tris[:, 0], tris[:, 1], tris[:, 2]
     v0 = positions[c0]
@@ -373,28 +448,93 @@ def build_compiled_scene(
         )
         return slot
 
+    # ---- group scene instances by (geometry, version): all members of a
+    # group share ONE object-space corner bake (the BLAS-sharing analog,
+    # ref RayTracer.cu:1618-1715) and transform to world space in ONE
+    # batched device op per group. Curves and skinned meshes keep the
+    # per-part host bake (their geometry depends on transform scale /
+    # bone state).
+    groups: dict = {}
+    group_order: list = []
     for handle, inst in scene.instances.items():
         geom = scene.geometries.get(inst.geometry_key)
         if geom is None or inst.material_key not in scene.materials:
             continue
-        key = (inst.geometry_key, geom.version,
-               inst.global_transform.tobytes())
-        cached = cache.get(("part", handle))
-        if cached is not None and cached[0] == key:
-            baked = cached[1]
-        else:
-            baked = _geometry_world_mesh(geom, inst.global_transform)
-            if baked is not None:
-                cache[("part", handle)] = (key, baked)
-        if baked is None:
-            continue
         slot = len(inst_material)
-        part = dict(baked)  # don't mutate the cached bake
-        part["instance"] = np.full(part["v0"].shape[0], slot, np.int32)
-        parts.append(part)
-        part_keys.append((handle, key, inst.material_key))
         inst_material.append(material_index(inst.material_key))
         inst_handles.append(handle_words(inst.entity_handle))
+        gkey = (inst.geometry_key, geom.version)
+        if gkey not in groups:
+            groups[gkey] = {"geom": geom, "members": []}
+            group_order.append(gkey)
+        groups[gkey]["members"].append((handle, inst, slot))
+
+    for gkey, grp in ((k, groups[k]) for k in group_order):
+        geom = grp["geom"]
+        members = grp["members"]
+        shared = geom.renderer_type in (RendererType.DEFAULT,
+                                        RendererType.INSTANCED)
+        if shared:
+            ob = cache.get(("objbake", gkey[0]))
+            if ob is None or ob[0] != geom.version:
+                ob = (geom.version, _geometry_object_bake(geom))
+                cache[("objbake", gkey[0])] = ob
+            obj = ob[1]
+        else:
+            obj = None
+        if shared and obj is not None:
+            if geom.renderer_type == RendererType.INSTANCED:
+                sub = np.asarray(geom.instance_matrices, np.float32)
+                colors = (np.asarray(geom.instance_colors, np.float32)
+                          if geom.instance_colors is not None
+                          and len(geom.instance_colors) else None)
+            else:
+                sub = np.eye(4, dtype=np.float32)[None]
+                colors = None
+            # member transforms compose with the geometry's sub-instance
+            # matrices on host ((members*sub, 4, 4) — tiny), then ONE
+            # batched device transform for the whole group
+            mats = np.einsum(
+                "mpq,sqr->mspr",
+                np.stack([m[1].global_transform for m in members]),
+                sub,
+            ).reshape(-1, 4, 4)
+            wkey = (gkey, mats.tobytes(),
+                    None if colors is None else colors.tobytes(),
+                    tuple(m[2] for m in members))
+            cached = cache.get(("gworld", gkey[0]))
+            if cached is not None and cached[0] == wkey:
+                part = cached[1]
+            else:
+                tiled_colors = (np.tile(colors, (len(members), 1))
+                                if colors is not None else None)
+                part = _transform_part_device(obj, mats, tiled_colors)
+                tris_per = obj["v0"].shape[0]
+                slots = np.repeat(
+                    np.asarray([m[2] for m in members], np.int32),
+                    sub.shape[0] * tris_per)
+                part["instance"] = jnp.asarray(slots)
+                cache[("gworld", gkey[0])] = (wkey, part)
+            parts.append(part)
+            part_keys.append((gkey, wkey))
+            continue
+        # per-part host path (curves, skinned, empty meshes)
+        for handle, inst, slot in members:
+            key = (inst.geometry_key, geom.version,
+                   inst.global_transform.tobytes())
+            cached = cache.get(("part", handle))
+            if cached is not None and cached[0] == key:
+                baked = cached[1]
+            else:
+                baked = _geometry_world_mesh(geom, inst.global_transform)
+                if baked is not None:
+                    cache[("part", handle)] = (key, baked)
+            if baked is None:
+                continue
+            part = dict(baked)  # don't mutate the cached bake
+            part["instance"] = np.full(part["v0"].shape[0], slot, np.int32)
+            parts.append(part)
+            part_keys.append((handle, key, inst.material_key, slot))
 
     if not parts:  # empty scene: single degenerate triangle
         parts.append(
@@ -412,9 +552,11 @@ def build_compiled_scene(
             }
         )
         part_keys.append((0, ("__empty__",), 0))
-        inst_material.append(0)
-        inst_handles.append((0, 0))
-        mat_list.append(
+        if not inst_material:
+            inst_material.append(0)
+            inst_handles.append((0, 0))
+        if not mat_list:
+            mat_list.append(
             dict(
                 material_type=0,
                 albedo=np.ones(3, np.float32),
@@ -433,9 +575,12 @@ def build_compiled_scene(
             )
         )
 
-    # prune cache entries for instances that left the scene
+    # prune cache entries for instances / geometries that left the scene
     live = {("part", h) for h in scene.instances}
-    for k in [k for k in cache if isinstance(k, tuple) and k[0] == "part"
+    live |= {("objbake", g) for g in scene.geometries}
+    live |= {("gworld", g) for g in scene.geometries}
+    for k in [k for k in cache
+              if isinstance(k, tuple) and k[0] in ("part", "objbake", "gworld")
               and k not in live]:
         del cache[k]
 
@@ -451,16 +596,19 @@ def build_compiled_scene(
         num_tris = ens[1]["num_tris"]
     else:
         ens = None
+        # device concat: group parts are already jnp arrays, host parts
+        # (curves/skinned) upload here; the assembled ensemble never
+        # round-trips through the host
         merged = {
-            k: np.concatenate([p[k] for p in parts], axis=0)
+            k: jnp.concatenate([jnp.asarray(p[k]) for p in parts], axis=0)
             for k in parts[0]
         }
         num_tris = merged["v0"].shape[0]
         pad = (-num_tris) % pad_to_multiple
         if pad:
             for k, arr in merged.items():
-                fill = np.zeros((pad,) + arr.shape[1:], arr.dtype)
-                merged[k] = np.concatenate([arr, fill], axis=0)
+                fill = jnp.zeros((pad,) + arr.shape[1:], arr.dtype)
+                merged[k] = jnp.concatenate([arr, fill], axis=0)
 
         has_curves = bool((merged["kind"] != 0).any())
         geometry = GeometryBuffers(

@@ -2,10 +2,18 @@
 
 The reference rebuilds only dirty GAS and reuses the rest
 (ref RayTracer.cu:1638-1643; version checks RayTracerLayer.cpp:60,131,
-193-197). These tests pin the equivalents: material-value edits re-bake
-zero triangles and keep the BVH/Pallas tables; a transform edit re-bakes
-exactly one part; a skinned animation loop re-bakes only the animated
-geometry each frame.
+193-197), and shares one compacted BLAS across instances
+(ref RayTracer.cu:1618-1715). These tests pin the equivalents:
+
+* material-value edits re-bake zero triangles and keep the BVH/Pallas
+  tables object-identically;
+* a transform edit re-runs ONE group's batched device transform and
+  zero host corner bakes (the object-space bake is shared per geometry
+  version, the TLAS-lite analog);
+* N instances of one mesh cost ONE host corner bake + one batched
+  device transform — host bake work is sublinear (O(1) bakes) in
+  instance count;
+* a skinned animation loop re-bakes only the animated geometry.
 """
 
 import numpy as np
@@ -23,14 +31,28 @@ import raytracerfacility_tpu.scene.builder as builder_mod
 
 @pytest.fixture
 def bake_counter(monkeypatch):
-    calls = []
-    real = builder_mod._geometry_world_mesh
+    """Counts host corner bakes (per-part and shared-object) and batched
+    device transforms: {"part": [...], "obj": [...], "xform": [...]}"""
+    calls = {"part": [], "obj": [], "xform": []}
+    real_part = builder_mod._geometry_world_mesh
+    real_obj = builder_mod._geometry_object_bake
+    real_xform = builder_mod._transform_part_device
 
-    def counting(geom, transform):
-        calls.append(geom.handle)
-        return real(geom, transform)
+    def counting_part(geom, transform):
+        calls["part"].append(geom.handle)
+        return real_part(geom, transform)
 
-    monkeypatch.setattr(builder_mod, "_geometry_world_mesh", counting)
+    def counting_obj(geom):
+        calls["obj"].append(geom.handle)
+        return real_obj(geom)
+
+    def counting_xform(obj, matrices, instance_colors=None):
+        calls["xform"].append(np.asarray(matrices).reshape(-1, 4, 4).shape[0])
+        return real_xform(obj, matrices, instance_colors)
+
+    monkeypatch.setattr(builder_mod, "_geometry_world_mesh", counting_part)
+    monkeypatch.setattr(builder_mod, "_geometry_object_bake", counting_obj)
+    monkeypatch.setattr(builder_mod, "_transform_part_device", counting_xform)
     return calls
 
 
@@ -52,15 +74,18 @@ def _two_object_scene():
 def test_material_edit_rebakes_nothing(bake_counter):
     scene = _two_object_scene()
     first = scene.build()
-    assert len(bake_counter) == 2
-    bake_counter.clear()
+    assert len(bake_counter["obj"]) == 2
+    assert len(bake_counter["xform"]) == 2
+    for k in bake_counter:
+        bake_counter[k].clear()
 
     scene.upsert_material(10, version=1, properties=MaterialProperties(
         albedo_color=(0.1, 0.1, 0.9), roughness=0.2, metallic=0.8))
     assert scene.dirty
     second = scene.build()
 
-    assert bake_counter == []  # zero triangle re-bakes
+    # zero host bakes AND zero device transforms
+    assert bake_counter == {"part": [], "obj": [], "xform": []}
     # geometry buffers, BVH and trace tables are reused object-identically
     assert second.geometry is first.geometry
     assert second.bvh is first.bvh
@@ -70,18 +95,60 @@ def test_material_edit_rebakes_nothing(bake_counter):
                            np.asarray(first.materials.albedo))
 
 
-def test_transform_edit_rebakes_one_part(bake_counter):
+def test_transform_edit_retransforms_one_group(bake_counter):
     scene = _two_object_scene()
     scene.build()
-    bake_counter.clear()
+    for k in bake_counter:
+        bake_counter[k].clear()
 
     t = np.eye(4, dtype=np.float32)
     t[1, 3] = 0.5
     scene.upsert_instance(20, version=1, geometry=1, material=10, transform=t)
     second = scene.build()
-    assert bake_counter == [1]  # only the moved instance's geometry
+    # the shared object bake is reused; only the moved instance's group
+    # re-runs its (single-matrix) device transform
+    assert bake_counter["obj"] == []
+    assert bake_counter["part"] == []
+    assert bake_counter["xform"] == [1]
     # the moved sphere's triangles actually moved
     assert float(np.asarray(second.geometry.v0[:, 1]).max()) > 0.4
+
+
+def test_thousand_instances_share_one_bake(bake_counter):
+    """TLAS-lite: N instances of one mesh cost one host corner bake and
+    one batched device transform; moving one instance re-transforms only
+    that group with zero host bakes."""
+    scene = RayTracerScene()
+    mesh = make_sphere(0.1, rings=4, sectors=6)
+    scene.upsert_geometry(1, version=0, mesh=mesh)
+    scene.upsert_material(10, version=0, properties=MaterialProperties(
+        albedo_color=(0.5, 0.5, 0.5)))
+    rng = np.random.default_rng(0)
+    n = 1000
+    for i in range(n):
+        t = np.eye(4, dtype=np.float32)
+        t[:3, 3] = rng.uniform(-5, 5, 3).astype(np.float32)
+        scene.upsert_instance(100 + i, version=0, geometry=1, material=10,
+                              transform=t)
+    compiled = scene.build()
+    assert bake_counter["obj"] == [1]  # ONE object bake for 1000 instances
+    assert bake_counter["xform"] == [n]  # one batched transform
+    assert bake_counter["part"] == []
+    assert compiled.num_instances == n
+    assert compiled.geometry.v0.shape[0] >= n * mesh.num_triangles
+    for k in bake_counter:
+        bake_counter[k].clear()
+
+    # move one instance: zero host bakes, one group re-transform
+    t = np.eye(4, dtype=np.float32)
+    t[:3, 3] = (9.0, 9.0, 9.0)
+    scene.upsert_instance(100, version=1, geometry=1, material=10,
+                          transform=t)
+    second = scene.build()
+    assert bake_counter["obj"] == []
+    assert bake_counter["part"] == []
+    assert bake_counter["xform"] == [n]
+    assert float(np.asarray(second.geometry.v0[:, 0]).max()) > 8.0
 
 
 def test_skinned_animation_rebakes_only_animated(bake_counter):
@@ -99,7 +166,8 @@ def test_skinned_animation_rebakes_only_animated(bake_counter):
     )
     scene.upsert_instance(22, version=0, geometry=3, material=10)
     scene.build()
-    bake_counter.clear()
+    for k in bake_counter:
+        bake_counter[k].clear()
 
     for frame in range(1, 4):
         m = np.eye(4, dtype=np.float32)
@@ -110,9 +178,12 @@ def test_skinned_animation_rebakes_only_animated(bake_counter):
             bone_matrices=m[None],
         )
         compiled = scene.build()
-        # only the skinned geometry re-baked this frame
-        assert bake_counter == [3], bake_counter
-        bake_counter.clear()
+        # only the skinned geometry re-baked this frame; the shared
+        # static groups were not touched
+        assert bake_counter["part"] == [3], bake_counter
+        assert bake_counter["obj"] == []
+        assert bake_counter["xform"] == []
+        bake_counter["part"].clear()
     ys = np.asarray(compiled.geometry.v0[:, 1])
     assert ys.max() > 0.35  # the animation actually moved the cube
 
@@ -126,5 +197,6 @@ def test_removal_prunes_cache(bake_counter):
     scene.upsert_instance(20, version=0, geometry=1, material=10)
     scene.end_sync()  # drops geometry 2 / material 11 / instance 21
     compiled = scene.build()
-    assert ("part", 21) not in scene._build_cache
+    assert ("objbake", 2) not in scene._build_cache
+    assert ("gworld", 2) not in scene._build_cache
     assert compiled.num_instances == 1
