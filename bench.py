@@ -28,6 +28,19 @@ TARGET_MRAYS = 100.0
 # headline config first (BASELINE.md: 1080p 8-bounce), descending fallbacks
 RESOLUTIONS = [(1920, 1080), (1280, 720), (960, 540), (640, 360)]
 
+# Roofline proxy constants (documented assumptions, not vendor specs):
+# the streaming trace kernel spends ~40 VPU f32 ops per (live ray,
+# table row) pair it actually visits (Moller-Trumbore + carry blends,
+# ops/pallas_fused.py tri_body); v5e VPU peak is taken as
+# 8 sublanes x 128 lanes x 4 ALUs x ~0.94 GHz ~= 3.85 Tf32op/s/core.
+# 'vpu_peak_pct_proxy' therefore reads: what fraction of VPU peak the
+# measured throughput would represent IF every (ray, row) pair were
+# visited (culling makes the true visited fraction lower, so this is a
+# lower bound on efficiency over visited work and an upper bound on
+# brute-force-equivalent utilization).
+OPS_PER_PAIR = 40.0
+VPU_PEAK_OPS = 3.85e12
+
 
 def run_once(width, height, frames):
     from __graft_entry__ import _bench_scene
@@ -66,15 +79,17 @@ def run_once(width, height, frames):
         )
         total_rays += float(rays)
     dt = time.perf_counter() - t0
-    return total_rays / dt / 1e6
+    ntris = int(compiled.geometry.v0.shape[0])
+    pairs_per_s = total_rays / dt * ntris
+    return total_rays / dt / 1e6, pairs_per_s
 
 
 def _run_single(width: int, height: int, frames: int) -> None:
     """Subprocess entry: one resolution attempt, prints '<mrays>' on
     success."""
     try:
-        mrays = run_once(width, height, frames)
-        print(f"RESULT {mrays:.6f}")
+        mrays, pairs = run_once(width, height, frames)
+        print(f"RESULT {mrays:.6f} {pairs:.6e}")
     except Exception as exc:
         print(f"FAILED {str(exc)[:140]}", file=sys.stderr)
         sys.exit(1)
@@ -290,6 +305,7 @@ def main() -> None:
     frames = 2
 
     value = 0.0
+    pairs = 0.0
     label = "none"
     for width, height in resolutions:
         # Each attempt runs in a fresh process: a crashed TPU worker poisons
@@ -309,7 +325,9 @@ def main() -> None:
             out = proc.stdout.strip().splitlines()
             result = [l for l in out if l.startswith("RESULT ")]
             if proc.returncode == 0 and result:
-                got = float(result[-1].split()[1])
+                fields = result[-1].split()
+                got = float(fields[1])
+                pairs = float(fields[2]) if len(fields) > 2 else 0.0
                 break
             print(
                 f"# {width}x{height} attempt {attempt} failed "
@@ -329,6 +347,12 @@ def main() -> None:
                 "value": round(value, 3),
                 "unit": "Mrays/s",
                 "vs_baseline": round(value / TARGET_MRAYS, 4),
+                # roofline proxies (see OPS_PER_PAIR/VPU_PEAK_OPS notes):
+                # live-ray x table-row pairs per second, and the VPU-peak
+                # fraction a full brute sweep at this rate would represent
+                "gpairs_per_sec": round(pairs / 1e9, 3),
+                "vpu_peak_pct_proxy": round(
+                    100.0 * pairs * OPS_PER_PAIR / VPU_PEAK_OPS, 2),
             }
         )
     )

@@ -71,6 +71,21 @@ class DenoiserUNet(nn.Module):
         return (color + residual.astype(jnp.float32)).astype(jnp.float32)
 
 
+def compute_intensity(color: jax.Array) -> jax.Array:
+    """HDR exposure normalizer: the ``optixDenoiserComputeIntensity``
+    analog the reference computes before every invoke
+    (ref RayTracer.cu:523-531). Returns k = 1 / exp(mean(log(luminance)))
+    — the inverse average log-luminance — over the leading image axes, so
+    ``color * k`` has average log-luminance 0 regardless of exposure.
+    Shapes: (..., H, W, C) -> broadcastable (..., 1, 1, 1)."""
+    lum = (0.2126 * color[..., 0] + 0.7152 * color[..., 1]
+           + 0.0722 * color[..., 2])
+    log_l = jnp.log(jnp.maximum(lum, 1e-8))
+    avg = jnp.exp(jnp.mean(log_l, axis=(-2, -1), keepdims=True))
+    k = 1.0 / jnp.clip(avg, 1e-4, 1e4)
+    return k[..., None]
+
+
 def _pad_to_multiple(img: jax.Array, multiple: int = 4) -> tuple[jax.Array, tuple]:
     h, w = img.shape[-3], img.shape[-2]
     ph = (-h) % multiple
@@ -107,15 +122,21 @@ class Denoiser:
         blend_factor: float | jax.Array = 0.0,
     ) -> jax.Array:
         """Single-image denoise with the reference's blend semantics:
-        output = denoised * (1 - blend) + noisy * blend."""
+        output = denoised * (1 - blend) + noisy * blend. The input is
+        exposure-normalized by the inverse average log-luminance before
+        the network and de-normalized after (the
+        optixDenoiserComputeIntensity step the reference runs per invoke,
+        ref RayTracer.cu:523-531) — exposure ranges outside the training
+        distribution denoise identically to nominal ones."""
         assert self.params is not None, "init() or load params first"
         c = color[None, ..., :3]
         a = albedo[None, ..., :3]
         n = normal[None, ..., :3]
-        c, (h, w) = _pad_to_multiple(c)
+        k = compute_intensity(c)
+        c, (h, w) = _pad_to_multiple(c * k)
         a, _ = _pad_to_multiple(a)
         n, _ = _pad_to_multiple(n)
-        out = self.model.apply(self.params, c, a, n)[0, :h, :w]
+        out = self.model.apply(self.params, c, a, n)[0, :h, :w] / k[0]
         blend = jnp.asarray(blend_factor, jnp.float32)
         return out * (1.0 - blend) + color[..., :3] * blend
 
@@ -166,8 +187,16 @@ def default_denoiser() -> Denoiser | None:
 
 
 def denoiser_loss(model: DenoiserUNet, params, batch) -> jax.Array:
-    """L1 + gradient loss on (noisy, albedo, normal, clean) batches."""
+    """L1 + gradient loss on (noisy, albedo, normal, clean) batches.
+
+    Each element normalizes by its own inverse average log-luminance
+    (matching the inference path), so the network only ever sees
+    exposure-normalized input and the loss weights every exposure
+    equally."""
     noisy, albedo, normal, clean = batch
+    k = compute_intensity(noisy)
+    noisy = noisy * k
+    clean = clean * k
     pred = model.apply(params, noisy, albedo, normal)
     l1 = jnp.mean(jnp.abs(pred - clean))
     dy_p = pred[:, 1:] - pred[:, :-1]

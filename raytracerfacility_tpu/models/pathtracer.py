@@ -587,9 +587,21 @@ def _render_samples_fused(
         env_arg = flat_rgb
         kwargs = {}
     else:
-        pool_fn, tables = render_pool_fused, scene.fused
-        env_arg = env_vec
-        kwargs = {"lighting": 1 if sls else 0}
+        from raytracerfacility_tpu.ops.pallas_seg import (
+            render_pool_sorted,
+            sorted_dispatch,
+        )
+
+        if not sls and sorted_dispatch(scene.fused, incoherent=False):
+            # large scene: inter-segment compaction + coherence grouping
+            # buys back more culling than the reorder costs
+            pool_fn, tables = render_pool_sorted, scene.fused
+            env_arg = env_vec
+            kwargs = {}
+        else:
+            pool_fn, tables = render_pool_fused, scene.fused
+            env_arg = env_vec
+            kwargs = {"lighting": 1 if sls else 0}
     radiance, normal, albedo, position, rays = pool_fn(
         tables,
         origin.reshape(n_rays, 3),

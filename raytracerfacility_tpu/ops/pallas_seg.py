@@ -23,10 +23,13 @@ wins the round-2 ledger names as the next lever:
   segments the way it does on camera rays.
 
 The inter-segment reorder is XLA-side: one argsort of a packed int32 key
-plus one row-gather of the packed state matrix (measured sub-millisecond
-at 2M rays on v5e — the round-2 38 ms multi-operand-sort number was an
-artifact of the unfenced-dispatch pathology, re-measured round 3 in
-scripts/measure_reorder.py). Per-ray results are BIT-IDENTICAL to
+plus one row-gather of the packed state matrix. MEASURED COST (round 3,
+properly fenced by scalar readback — block_until_ready does not reliably
+fence through the axon tunnel, and an early sub-millisecond reading from
+it was wrong): the full 15-plane reorder costs tens of ms per segment at
+2M rays, consistent with the round-2 38 ms multi-operand-sort figure.
+That cost is why RTF_TPU_SEG_EVERY exists and why this path must earn
+its dispatch slot per-config on-chip. Per-ray results are BIT-IDENTICAL to
 ops/pallas_fused.py: permutations never change any ray's own arithmetic
 (the best-hit record is a lexicographic (t, prim-id) min — commutative
 across visit order), and the final radiance scatters back through the
@@ -69,6 +72,10 @@ _LANES = 128
 # origin-cell bits per axis for the reorder key (3 -> 512 cells; key is
 # morton-major so neighbouring cells stay adjacent after the sort)
 MORTON_BITS = int(os.environ.get("RTF_TPU_SEG_MBITS", "3"))
+# reorder before segments 1, 1+k, 1+2k, ... (the reorder costs tens of
+# ms at 2M rays — see module docstring — so its cadence is a tunable
+# trade against the compaction/coherence win it buys)
+REORDER_EVERY = int(os.environ.get("RTF_TPU_SEG_EVERY", "1"))
 
 
 def _kernel(
@@ -411,10 +418,11 @@ def _morton_key(ox, oy, oz, dx, dy, dz, act, lo, inv_extent):
     return jnp.where(act > 0.0, key, jnp.int32(2147483647))
 
 
-@functools.partial(jax.jit, static_argnames=("bounces", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("bounces", "presort", "interpret"))
 def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         direction, rng, valid, env_vec, bounces: int,
-                        interpret: bool = False):
+                        presort: bool = False, interpret: bool = False):
     r = origin.shape[0]
     block = BLOCK_ROWS * _LANES
     pad = (-r) % block
@@ -450,14 +458,9 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
     hi = jnp.max(jnp.where(cvalid[:, None], chunk_aabbs[:, 3:6], -big), axis=0)
     inv_extent = 1.0 / jnp.maximum(hi - lo, 1e-6)
 
-    state, aovs, live0 = _segment_call(
-        table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
-        is_first=True, has_cont=bounces >= 1, rows=rows,
-        interpret=interpret)
-    total_live = live0
-
     orig_idx = jnp.arange(rp, dtype=jnp.int32).reshape(rows, _LANES)
-    for s in range(1, bounces + 1):
+
+    def reorder(state, orig_idx):
         key = _morton_key(state[0], state[1], state[2],
                           state[3], state[4], state[5], state[7],
                           lo, inv_extent)
@@ -471,24 +474,56 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
             plane(istate[:, 0]), plane(fstate[:, 6]),
             *(plane(fstate[:, i]) for i in range(7, 13)),
         )
-        orig_idx = plane(istate[:, 1])
+        return state, plane(istate[:, 1])
+
+    if presort:
+        # incoherent primaries (probe pools): group BEFORE the first
+        # trace; AOVs then come out permuted and scatter back below
+        state, orig_idx = reorder(state, orig_idx)
+    aov_orig_idx = orig_idx  # segment-0 order, for AOV scatter-back
+
+    state, aovs, live0 = _segment_call(
+        table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
+        is_first=True, has_cont=bounces >= 1, rows=rows,
+        interpret=interpret)
+    total_live = live0
+
+    for s in range(1, bounces + 1):
+        if (s - 1) % REORDER_EVERY == 0:
+            state, orig_idx = reorder(state, orig_idx)
         state, _, live_s = _segment_call(
             table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
             is_first=False, has_cont=s < bounces, rows=rows,
             interpret=interpret)
         total_live = total_live + live_s
 
-    # scatter radiance back to original ray order
+    # scatter radiance (and, under presort, the AOVs) back to original
+    # ray order
     idx = orig_idx.reshape(rp)
+
     def unperm(p):
         return jnp.zeros((rp,), jnp.float32).at[idx].set(p.reshape(rp))
 
     radiance = jnp.stack([unperm(state[11]), unperm(state[12]),
                           unperm(state[13])], axis=-1)[:r]
 
-    def unplane3(a, b, c):
-        return jnp.stack([a.reshape(rp)[:r], b.reshape(rp)[:r],
-                          c.reshape(rp)[:r]], axis=-1)
+    if presort:
+        # AOVs were produced in the presorted order; idx still maps the
+        # CURRENT order back to original, but AOVs froze at segment 0's
+        # order — scatter through the segment-0 index map instead
+        aov_idx = aov_orig_idx.reshape(rp)
+
+        def unperm0(p):
+            return jnp.zeros((rp,), jnp.float32).at[aov_idx].set(
+                p.reshape(rp))
+
+        def unplane3(a, b, c):
+            return jnp.stack([unperm0(a), unperm0(b), unperm0(c)],
+                             axis=-1)[:r]
+    else:
+        def unplane3(a, b, c):
+            return jnp.stack([a.reshape(rp)[:r], b.reshape(rp)[:r],
+                              c.reshape(rp)[:r]], axis=-1)
 
     normal = unplane3(*aovs[0:3])
     albedo = unplane3(*aovs[3:6])
@@ -497,9 +532,12 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
 
 
 def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
-                       bounces: int, interpret: bool | None = None):
+                       bounces: int, presort: bool = False,
+                       interpret: bool | None = None):
     """Public entry; signature mirrors pallas_fused.render_pool_fused
-    (Scene lighting only — SLS is single-segment and stays fused)."""
+    (Scene lighting only — SLS is single-segment and stays fused).
+    ``presort`` groups the pool before the FIRST trace too — for
+    workloads whose primaries are already incoherent (probe pools)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     env_vec = jnp.zeros((16,), jnp.float32)
@@ -507,5 +545,21 @@ def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
     table, sub_aabbs, chunk_aabbs, mat_table = tables
     return _render_pool_sorted(
         table, sub_aabbs, chunk_aabbs, mat_table, origin, direction, rng,
-        valid, env_vec, bounces=bounces, interpret=bool(interpret),
+        valid, env_vec, bounces=bounces, presort=bool(presort),
+        interpret=bool(interpret),
     )
+
+
+def sorted_dispatch(tables, incoherent: bool) -> bool:
+    """Should this pool run the segmented+reordered engine instead of the
+    fused mega-kernel? RTF_TPU_SORTED=1/0 forces; unset -> auto: the
+    reorder costs tens of ms at 2M rays, so it must buy back more culling
+    than that — which it does when the scene is large (many chunk
+    windows) and especially when the pool is incoherent from segment 0
+    (probe pools: measured 5.3x coherent-vs-random gap on the 111k-tri
+    canopy, PERF.md)."""
+    flag = os.environ.get("RTF_TPU_SORTED")
+    if flag is not None:
+        return flag == "1"
+    nchunks = tables[0].shape[0] // TRI_CHUNK
+    return nchunks >= (8 if incoherent else 32)

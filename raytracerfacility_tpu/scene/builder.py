@@ -269,49 +269,54 @@ def _geometry_object_bake(geom):
     return packed
 
 
-def _transform_part_device(obj: dict, matrices: np.ndarray,
+def _transform_part_batched(obj: dict, matrices: np.ndarray,
                            instance_colors=None) -> dict:
-    """Apply one or many instance transforms to an object-space bake ON
-    DEVICE (the vertex-prep-kernel equivalent, ref CopyVertices*Kernel
-    RayTracer.cu:1148-1192): positions rotate+translate, edge vectors and
-    normal/tangent corners rotate (plain matrix like the reference,
-    RayDataDefinations.hpp:375). ``matrices`` is (4,4) or (I,4,4); the
-    batched form replaces the reference's per-instance vertex copy loop
-    with one einsum and makes bake time sublinear in instance count
-    (device work is bandwidth-bound, host work is O(1) per rebuild)."""
-    m = jnp.asarray(matrices, jnp.float32)
-    single = m.ndim == 2
-    if single:
+    """Apply one or many instance transforms to an object-space bake as
+    ONE batched einsum (the vertex-prep-kernel equivalent, ref
+    CopyVertices*Kernel RayTracer.cu:1148-1192): positions
+    rotate+translate, edge vectors and normal/tangent corners rotate
+    (plain matrix like the reference, RayDataDefinations.hpp:375).
+    ``matrices`` is (4,4) or (I,4,4); batching replaces the reference's
+    per-instance vertex copy loop, so bake cost is one vectorized pass
+    regardless of instance count.
+
+    Runs in HOST numpy deliberately: the arithmetic is tiny (MFLOPs even
+    at 1000 instances) while eager device ops through the tunneled
+    runtime cost ~1.5 ms dispatch each AND a 30-300 s remote compile per
+    new op shape — a device-side bake measured minutes of first-build
+    latency for zero steady-state win."""
+    m = np.asarray(matrices, np.float32)
+    if m.ndim == 2:
         m = m[None]
     rot = m[:, :3, :3]  # (I, 3, 3)
     tr = m[:, :3, 3]  # (I, 3)
     i = rot.shape[0]
+    t = obj["v0"].shape[0]
 
     def rot_pts(x):  # (T, 3) -> (I*T, 3)
-        return jnp.einsum("ipq,tq->itp", rot, jnp.asarray(x)).reshape(-1, 3)
+        return np.einsum("ipq,tq->itp", rot, x).reshape(-1, 3)
 
     def rot_corners(x):  # (T, 3, 3) -> (I*T, 3, 3)
-        return jnp.einsum("ipq,tcq->itcp", rot,
-                          jnp.asarray(x)).reshape(-1, 3, 3)
+        return np.einsum("ipq,tcq->itcp", rot, x).reshape(-1, 3, 3)
 
     out = {
-        "v0": rot_pts(obj["v0"]) + jnp.repeat(tr, obj["v0"].shape[0], axis=0),
-        "e1": rot_pts(obj["e1"]),
-        "e2": rot_pts(obj["e2"]),
-        "normal": rot_corners(obj["normal"]),
-        "tangent": rot_corners(obj["tangent"]),
-        "tex_coord": jnp.tile(jnp.asarray(obj["tex_coord"]), (i, 1, 1)),
-        "data": jnp.tile(jnp.asarray(obj["data"]), (i, 1, 1)),
-        "kind": jnp.tile(jnp.asarray(obj["kind"]), (i,)),
+        "v0": (rot_pts(obj["v0"])
+               + np.repeat(tr, t, axis=0)).astype(np.float32),
+        "e1": rot_pts(obj["e1"]).astype(np.float32),
+        "e2": rot_pts(obj["e2"]).astype(np.float32),
+        "normal": rot_corners(obj["normal"]).astype(np.float32),
+        "tangent": rot_corners(obj["tangent"]).astype(np.float32),
+        "tex_coord": np.tile(obj["tex_coord"], (i, 1, 1)),
+        "data": np.tile(obj["data"], (i, 1, 1)),
+        "kind": np.tile(obj["kind"], (i,)),
     }
     if instance_colors is not None and len(instance_colors):
         # per-instance color override (ref RayTracer.cu:1169-1173)
-        col = jnp.repeat(jnp.asarray(instance_colors, jnp.float32),
-                         obj["color"].shape[0], axis=0)
-        out["color"] = jnp.broadcast_to(
-            col[:, None, :], (col.shape[0], 3, col.shape[1]))
+        col = np.repeat(np.asarray(instance_colors, np.float32), t, axis=0)
+        out["color"] = np.broadcast_to(
+            col[:, None, :], (col.shape[0], 3, col.shape[1])).copy()
     else:
-        out["color"] = jnp.tile(jnp.asarray(obj["color"]), (i, 1, 1))
+        out["color"] = np.tile(obj["color"], (i, 1, 1))
     return out
 
 
@@ -344,7 +349,7 @@ def _geometry_world_mesh(geom, transform: np.ndarray):
         )
 
     # Instanced/Default meshes go through _geometry_object_bake +
-    # _transform_part_device (shared object bake, batched device
+    # _transform_part_batched (shared object bake, batched device
     # transform); this host path serves skinned meshes and tessellated
     # curves. Fused native bake (transform + corner gather in one C++
     # pass, raytracerfacility_tpu/native); numpy fallback below.
@@ -508,12 +513,11 @@ def build_compiled_scene(
             else:
                 tiled_colors = (np.tile(colors, (len(members), 1))
                                 if colors is not None else None)
-                part = _transform_part_device(obj, mats, tiled_colors)
+                part = _transform_part_batched(obj, mats, tiled_colors)
                 tris_per = obj["v0"].shape[0]
-                slots = np.repeat(
+                part["instance"] = np.repeat(
                     np.asarray([m[2] for m in members], np.int32),
                     sub.shape[0] * tris_per)
-                part["instance"] = jnp.asarray(slots)
                 cache[("gworld", gkey[0])] = (wkey, part)
             parts.append(part)
             part_keys.append((gkey, wkey))
@@ -596,19 +600,18 @@ def build_compiled_scene(
         num_tris = ens[1]["num_tris"]
     else:
         ens = None
-        # device concat: group parts are already jnp arrays, host parts
-        # (curves/skinned) upload here; the assembled ensemble never
-        # round-trips through the host
+        # host concat + ONE device upload per field: eager per-part device
+        # ops would pay tunnel dispatch + remote-compile latency per shape
         merged = {
-            k: jnp.concatenate([jnp.asarray(p[k]) for p in parts], axis=0)
+            k: np.concatenate([np.asarray(p[k]) for p in parts], axis=0)
             for k in parts[0]
         }
         num_tris = merged["v0"].shape[0]
         pad = (-num_tris) % pad_to_multiple
         if pad:
             for k, arr in merged.items():
-                fill = jnp.zeros((pad,) + arr.shape[1:], arr.dtype)
-                merged[k] = jnp.concatenate([arr, fill], axis=0)
+                fill = np.zeros((pad,) + arr.shape[1:], arr.dtype)
+                merged[k] = np.concatenate([arr, fill], axis=0)
 
         has_curves = bool((merged["kind"] != 0).any())
         geometry = GeometryBuffers(

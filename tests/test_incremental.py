@@ -36,7 +36,7 @@ def bake_counter(monkeypatch):
     calls = {"part": [], "obj": [], "xform": []}
     real_part = builder_mod._geometry_world_mesh
     real_obj = builder_mod._geometry_object_bake
-    real_xform = builder_mod._transform_part_device
+    real_xform = builder_mod._transform_part_batched
 
     def counting_part(geom, transform):
         calls["part"].append(geom.handle)
@@ -52,7 +52,7 @@ def bake_counter(monkeypatch):
 
     monkeypatch.setattr(builder_mod, "_geometry_world_mesh", counting_part)
     monkeypatch.setattr(builder_mod, "_geometry_object_bake", counting_obj)
-    monkeypatch.setattr(builder_mod, "_transform_part_device", counting_xform)
+    monkeypatch.setattr(builder_mod, "_transform_part_batched", counting_xform)
     return calls
 
 
