@@ -146,9 +146,14 @@ def estimate_illumination(
     rng, ray_dir = sample_hemisphere(rng, normal)  # uniform variant
     origin = position + normal * push_normal_distance
 
-    from raytracerfacility_tpu.models.pathtracer import fused_compatible
+    from raytracerfacility_tpu.models.pathtracer import (
+        fused_compatible,
+        sorted_env_compatible,
+    )
 
-    if fused_compatible(scene, env, config) and scene.fused is not None:
+    env_xla = sorted_env_compatible(scene, env, config)
+    if ((fused_compatible(scene, env, config) or env_xla)
+            and scene.fused is not None):
         # probe rays ride the fused mega-kernel (ops/pallas_fused.py):
         # same per-ray RNG stream and segment semantics as the wavefront
         # engine, one kernel execution for the whole probe pool
@@ -172,12 +177,14 @@ def estimate_illumination(
             sorted_dispatch,
         )
 
-        if not sls and sorted_dispatch(scene.fused, incoherent=True):
+        if not sls and (env_xla
+                        or sorted_dispatch(scene.fused, incoherent=True)):
             # probe rays are incoherent from segment 0 (uniform hemisphere
             # directions off scattered triangles): the segmented engine
             # presorts them by (origin cell, octant) so the trace kernel's
             # tile culling works — measured 5.3x coherent-vs-random gap on
-            # the 111k-tri canopy (PERF.md)
+            # the 111k-tri canopy (PERF.md). Cubemap/Nishita environments
+            # ride the same engine via its per-segment XLA miss hook.
             radiance, _, _, _, _ = render_pool_sorted(
                 scene.fused,
                 origin.reshape(n_rays, 3),
@@ -187,6 +194,10 @@ def estimate_illumination(
                 env_vec,
                 bounces=config.bounces,
                 presort=True,
+                env_state=env if env_xla else None,
+                lighting_type=int(config.lighting_type),
+                atmos_samples=config.atmosphere_samples,
+                atmos_samples_light=config.atmosphere_samples_light,
             )
         else:
             radiance, _, _, _, _ = render_pool_fused(

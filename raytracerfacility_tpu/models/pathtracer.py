@@ -543,6 +543,31 @@ def fused_camera_compatible(scene: CompiledScene, env: EnvironmentState,
     )
 
 
+def sorted_env_compatible(scene: CompiledScene, env: EnvironmentState,
+                          config: RenderConfig) -> bool:
+    """True when the pool can run the SEGMENTED fast path with its
+    per-segment XLA miss-environment hook: cubemap Scene or Nishita
+    Skydome lighting (which the monolithic fused kernel cannot shade —
+    no gather lowering in Mosaic) over the same statically specializable
+    hit-shading envelope. The reference runs these environments inside
+    its one hot pipeline (Environment.cuh:75-162); this is the TPU-native
+    split of the same work: trace + hit shading in-kernel, miss radiance
+    as one vectorized XLA step per segment."""
+    env_xla = (
+        config.lighting_type == EnvironmentalLightingType.SKYDOME
+        or (config.lighting_type == EnvironmentalLightingType.SCENE
+            and env.cubemap is not None)
+    )
+    return (
+        scene.fused is not None
+        and env_xla
+        and not config.alpha_test
+        and not config.enable_btf
+        and not config.enable_subsurface
+        and (config.samples == 1 or config.samples_in_lanes)
+    )
+
+
 def _render_samples_fused(
     scene, camera, env, config, ix, iy_global, pixel_index, base_seed,
     height, width, sample_count,
@@ -592,12 +617,26 @@ def _render_samples_fused(
             sorted_dispatch,
         )
 
-        if not sls and sorted_dispatch(scene.fused, incoherent=False):
-            # large scene: inter-segment compaction + coherence grouping
-            # buys back more culling than the reorder costs
+        env_xla = (
+            config.lighting_type == EnvironmentalLightingType.SKYDOME
+            or (config.lighting_type == EnvironmentalLightingType.SCENE
+                and env.cubemap is not None)
+        )
+        if not sls and (env_xla
+                        or sorted_dispatch(scene.fused, incoherent=False)):
+            # segmented engine: either the environment needs the XLA miss
+            # hook (cubemap/Nishita — the fused kernel cannot shade them)
+            # or the scene is large enough that inter-segment compaction +
+            # coherence grouping buys back more culling than the reorder
             pool_fn, tables = render_pool_sorted, scene.fused
             env_arg = env_vec
-            kwargs = {}
+            kwargs = (
+                {"env_state": env,
+                 "lighting_type": int(config.lighting_type),
+                 "atmos_samples": config.atmosphere_samples,
+                 "atmos_samples_light": config.atmosphere_samples_light}
+                if env_xla else {}
+            )
         else:
             pool_fn, tables = render_pool_fused, scene.fused
             env_arg = env_vec
@@ -687,7 +726,8 @@ def render_samples(
         sample_stream, jnp.uint32
     )
 
-    if fused_camera_compatible(scene, env, config):
+    if (fused_camera_compatible(scene, env, config)
+            or sorted_env_compatible(scene, env, config)):
         return _render_samples_fused(
             scene, camera, env, config, ix, iy_global, pixel_index,
             base_seed, height, width, sample_count,

@@ -87,16 +87,20 @@ def _kernel(
     *refs,
     is_first: bool,
     has_cont: bool,
+    xla_env: bool,
     num_mats: int,
     nchunks: int,
 ):
     (o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_rng, o_act,
      o_tr, o_tg, o_tb, o_rr, o_rg, o_rb) = refs[:14]
+    k = 14
     if is_first:
-        (a_nx, a_ny, a_nz, a_ar, a_ag, a_ab, a_px, a_py, a_pz) = refs[14:23]
-        b_t, b_nx, b_ny, b_nz, b_mid, b_pid, live = refs[23:]
-    else:
-        b_t, b_nx, b_ny, b_nz, b_mid, b_pid, live = refs[14:]
+        (a_nx, a_ny, a_nz, a_ar, a_ag, a_ab, a_px, a_py, a_pz) = refs[k:k + 9]
+        k += 9
+    if xla_env:
+        o_miss = refs[k]
+        k += 1
+    b_t, b_nx, b_ny, b_nz, b_mid, b_pid, live = refs[k:]
 
     c = pl.program_id(1)
 
@@ -222,9 +226,16 @@ def _kernel(
         rr, rg, rb = i_rr[...], i_rg[...], i_rb[...]
 
         er, eg, eb = envc[0], envc[1], envc[2]
-        rr = jnp.where(missm, rr + tr * er, rr)
-        rg = jnp.where(missm, rg + tg * eg, rg)
-        rb = jnp.where(missm, rb + tb * eb, rb)
+        if xla_env:
+            # miss radiance is position/direction-dependent (cubemap or
+            # Nishita sky): the caller adds it in ONE vectorized XLA step
+            # per segment from this mask — misses never continue, so the
+            # term is pure post-processing
+            o_miss[...] = missm.astype(jnp.float32)
+        else:
+            rr = jnp.where(missm, rr + tr * er, rr)
+            rg = jnp.where(missm, rg + tg * eg, rg)
+            rb = jnp.where(missm, rb + tb * eb, rb)
 
         def mat_resolve(mid):
             ar = jnp.zeros_like(mid)
@@ -271,9 +282,14 @@ def _kernel(
             a_nx[...] = jnp.where(hitm, nx, 0.0)
             a_ny[...] = jnp.where(hitm, ny, 0.0)
             a_nz[...] = jnp.where(hitm, nz, 0.0)
-            a_ar[...] = jnp.where(hitm, ar, jnp.where(missm, er, 0.0))
-            a_ag[...] = jnp.where(hitm, ag, jnp.where(missm, eg, 0.0))
-            a_ab[...] = jnp.where(hitm, ab, jnp.where(missm, eb, 0.0))
+            if xla_env:  # primary-miss albedo patched in XLA
+                a_ar[...] = jnp.where(hitm, ar, 0.0)
+                a_ag[...] = jnp.where(hitm, ag, 0.0)
+                a_ab[...] = jnp.where(hitm, ab, 0.0)
+            else:
+                a_ar[...] = jnp.where(hitm, ar, jnp.where(missm, er, 0.0))
+                a_ag[...] = jnp.where(hitm, ag, jnp.where(missm, eg, 0.0))
+                a_ab[...] = jnp.where(hitm, ab, jnp.where(missm, eb, 0.0))
             nohit = jnp.zeros_like(hx) + 999999.0
             a_px[...] = jnp.where(hitm, hx, nohit)
             a_py[...] = jnp.where(hitm, hy, nohit)
@@ -337,11 +353,12 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("is_first", "has_cont", "rows", "interpret"),
+    static_argnames=("is_first", "has_cont", "xla_env", "rows",
+                     "interpret"),
 )
 def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
                   is_first: bool, has_cont: bool, rows: int,
-                  interpret: bool):
+                  interpret: bool, xla_env: bool = False):
     """One trace+shade segment over planar state ((rows, 128) planes).
 
     ``state`` = (ox, oy, oz, dx, dy, dz, rng(i32), act, tr, tg, tb,
@@ -368,13 +385,16 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
     if is_first:
         out_shape = out_shape + (plane,) * 9
         n_out += 9
+    if xla_env:
+        out_shape = out_shape + (plane,)
+        n_out += 1
 
     scratch = [pltpu.VMEM((BLOCK_ROWS, _LANES), jnp.float32)] * 6 + [
         pltpu.SMEM((1,), jnp.float32)
     ]
 
     kernel = functools.partial(
-        _kernel, is_first=is_first, has_cont=has_cont,
+        _kernel, is_first=is_first, has_cont=has_cont, xla_env=xla_env,
         num_mats=int(mat_table.shape[0]), nchunks=nchunks,
     )
     outs = pl.pallas_call(
@@ -388,10 +408,15 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
         interpret=interpret,
     )(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, *state)
     new_state = outs[:14]
-    aovs = outs[14:23] if is_first else None
+    k = 14
+    aovs = None
+    if is_first:
+        aovs = outs[k:k + 9]
+        k += 9
+    miss = outs[k] if xla_env else None
     # live count this segment = rays active at its start
     live = jnp.sum(state[7])
-    return new_state, aovs, live
+    return new_state, aovs, live, miss
 
 
 def _morton_key(ox, oy, oz, dx, dy, dz, act, lo, inv_extent):
@@ -418,11 +443,16 @@ def _morton_key(ox, oy, oz, dx, dy, dz, act, lo, inv_extent):
     return jnp.where(act > 0.0, key, jnp.int32(2147483647))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("bounces", "presort", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("bounces", "presort", "interpret", "lighting_type",
+                     "atmos_samples", "atmos_samples_light"))
 def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         direction, rng, valid, env_vec, bounces: int,
-                        presort: bool = False, interpret: bool = False):
+                        presort: bool = False, interpret: bool = False,
+                        env_state=None, lighting_type: int = 0,
+                        atmos_samples: int = 16,
+                        atmos_samples_light: int = 8):
     r = origin.shape[0]
     block = BLOCK_ROWS * _LANES
     pad = (-r) % block
@@ -476,26 +506,65 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
         )
         return state, plane(istate[:, 1])
 
+    xla_env = env_state is not None
+
+    def add_env(state, prev, miss):
+        """Position/direction-dependent miss radiance (cubemap Scene or
+        Nishita Skydome), ONE vectorized XLA step per segment — exactly
+        the wavefront engine's miss formula (ref MissFunc,
+        RayFunctions.cuh:260-272), so results match it bit-for-bit."""
+        from raytracerfacility_tpu.ops.environment import (
+            calculate_environmental_light,
+        )
+
+        o = jnp.stack([prev[0].reshape(rp), prev[1].reshape(rp),
+                       prev[2].reshape(rp)], axis=-1)
+        d = jnp.stack([prev[3].reshape(rp), prev[4].reshape(rp),
+                       prev[5].reshape(rp)], axis=-1)
+        light = calculate_environmental_light(
+            o, d, env_state, lighting_type, atmos_samples,
+            atmos_samples_light)
+        m = miss.reshape(rp)
+        rad = [
+            plane(state[11 + i].reshape(rp)
+                  + m * prev[8 + i].reshape(rp) * light[:, i])
+            for i in range(3)
+        ]
+        return state[:11] + tuple(rad), light, m
+
     if presort:
         # incoherent primaries (probe pools): group BEFORE the first
         # trace; AOVs then come out permuted and scatter back below
         state, orig_idx = reorder(state, orig_idx)
     aov_orig_idx = orig_idx  # segment-0 order, for AOV scatter-back
 
-    state, aovs, live0 = _segment_call(
+    prev = state
+    state, aovs, live0, miss = _segment_call(
         table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
         is_first=True, has_cont=bounces >= 1, rows=rows,
-        interpret=interpret)
+        interpret=interpret, xla_env=xla_env)
     total_live = live0
+    if xla_env:
+        state, light, m = add_env(state, prev, miss)
+        # primary-miss albedo AOV = environment radiance (ref MissFunc
+        # writes m_albedo; segment 0 misses are primary by definition)
+        aovs = list(aovs)
+        for i in range(3):
+            aovs[3 + i] = plane(jnp.where(m > 0.0, light[:, i],
+                                          aovs[3 + i].reshape(rp)))
+        aovs = tuple(aovs)
 
     for s in range(1, bounces + 1):
         if (s - 1) % REORDER_EVERY == 0:
             state, orig_idx = reorder(state, orig_idx)
-        state, _, live_s = _segment_call(
+        prev = state
+        state, _, live_s, miss = _segment_call(
             table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
             is_first=False, has_cont=s < bounces, rows=rows,
-            interpret=interpret)
+            interpret=interpret, xla_env=xla_env)
         total_live = total_live + live_s
+        if xla_env:
+            state, _, _ = add_env(state, prev, miss)
 
     # scatter radiance (and, under presort, the AOVs) back to original
     # ray order
@@ -533,11 +602,17 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
 
 def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
                        bounces: int, presort: bool = False,
-                       interpret: bool | None = None):
+                       interpret: bool | None = None, env_state=None,
+                       lighting_type: int = 0, atmos_samples: int = 16,
+                       atmos_samples_light: int = 8):
     """Public entry; signature mirrors pallas_fused.render_pool_fused
-    (Scene lighting only — SLS is single-segment and stays fused).
+    (Scene/Skydome lighting — SLS is single-segment and stays fused).
     ``presort`` groups the pool before the FIRST trace too — for
-    workloads whose primaries are already incoherent (probe pools)."""
+    workloads whose primaries are already incoherent (probe pools).
+    ``env_state`` (an EnvironmentState) switches miss shading to the
+    per-segment XLA hook: cubemap Scene and Nishita Skydome environments
+    run on this fast path, which the monolithic fused kernel cannot do
+    (texture/sky gathers have no Mosaic lowering)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     env_vec = jnp.zeros((16,), jnp.float32)
@@ -546,7 +621,9 @@ def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
     return _render_pool_sorted(
         table, sub_aabbs, chunk_aabbs, mat_table, origin, direction, rng,
         valid, env_vec, bounces=bounces, presort=bool(presort),
-        interpret=bool(interpret),
+        interpret=bool(interpret), env_state=env_state,
+        lighting_type=int(lighting_type), atmos_samples=int(atmos_samples),
+        atmos_samples_light=int(atmos_samples_light),
     )
 
 

@@ -109,6 +109,50 @@ def test_fused_single_light_source_matches_wavefront(monkeypatch):
     assert img.std() > 0.02
 
 
+@pytest.mark.parametrize("env_kind", ["cubemap", "skydome"])
+def test_sorted_env_hook_matches_wavefront(monkeypatch, env_kind):
+    """Cubemap Scene and Nishita Skydome environments run on the
+    segmented fast path via its per-segment XLA miss hook (the monolithic
+    fused kernel cannot shade them); results must match the wavefront
+    engine, which computes the identical miss formula."""
+    from raytracerfacility_tpu.enums import EnvironmentalLightingType
+    from raytracerfacility_tpu.models.pathtracer import sorted_env_compatible
+    from raytracerfacility_tpu.models.renderer import EnvironmentProperties
+
+    compiled_f, cam, _ = _scene("1", monkeypatch)
+    compiled_x, _, _ = _scene("0", monkeypatch)
+    if env_kind == "cubemap":
+        rng = np.random.default_rng(0)
+        cm = rng.uniform(0.0, 1.5, (6, 8, 8, 3)).astype(np.float32)
+        envp = EnvironmentProperties(skylight_intensity=0.9, cubemap=cm)
+        lighting = EnvironmentalLightingType.SCENE
+    else:
+        envp = EnvironmentProperties(
+            lighting_type=EnvironmentalLightingType.SKYDOME,
+            sun_direction=(0.2, 0.8, 0.3), skylight_intensity=1.0)
+        lighting = EnvironmentalLightingType.SKYDOME
+    env = envp.state()
+    config = RenderConfig(
+        width=48, height=48, bounces=2, samples=1, lighting_type=lighting,
+        enable_textures=False, enable_vertex_color=False)
+    assert sorted_env_compatible(compiled_f, env, config)
+    assert not sorted_env_compatible(compiled_x, env, config)
+
+    frame_f, rays_f = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(48, 48))
+    frame_x, rays_x = render_frame_counted_jit(
+        compiled_x, cam, env, config, init_frame(48, 48))
+    diff = np.abs(np.asarray(frame_f.color) - np.asarray(frame_x.color))
+    assert np.quantile(diff, 0.99) < 2e-3, float(np.quantile(diff, 0.99))
+    assert diff.mean() < 3e-4, float(diff.mean())
+    assert abs(float(rays_f) - float(rays_x)) <= max(2.0, 1e-3 * float(rays_x))
+    # primary-miss albedo AOV carries the environment radiance
+    d_alb = np.abs(np.asarray(frame_f.albedo) - np.asarray(frame_x.albedo))
+    assert np.quantile(d_alb, 0.999) < 5e-3, float(np.quantile(d_alb, 0.999))
+    # non-vacuous: the sky is actually visible and varies
+    assert float(np.asarray(frame_x.color).std()) > 0.02
+
+
 def test_fused_depth_output(monkeypatch):
     compiled_f, cam, env = _scene("1", monkeypatch)
     config = RenderConfig(width=48, height=48, bounces=1, samples=1,
