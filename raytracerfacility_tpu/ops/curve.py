@@ -240,13 +240,17 @@ def refine_swept_hit(origin, direction, t0, s0, ctrl, radii, order,
 
 
 def subdivide_strand_segments(
-    strand_points, segments, mode: str, subdivisions: int | None = None
+    strand_points, segments, mode: str, subdivisions: int | None = None,
+    tex_coords=None,
 ):
     """Host-side: evaluate each spline segment at k+1 points -> k linear
     sphere-swept sub-segments with interpolated attributes.
 
     Returns dict of numpy arrays: p0, p1, r0, r1 (per sub-segment), color0,
-    color1 (N,4), u0, u1 (spline parameter range of each sub-segment), and
+    color1 (N,4), u0, u1 (spline parameter range of each sub-segment),
+    tex0, tex1 (user strand texcoord interpolated with the same spline
+    basis — ref Curves::GetHitInfo strandU, RayDataDefinations.hpp:32-72;
+    defaults to the parametric u when ``tex_coords`` is None), and
     — for quadratic/cubic — ctrl (N, 4, 3), ctrl_r (N, 4) parent control
     points/radii plus order (N,), for the exact-surface refinement.
     """
@@ -254,6 +258,8 @@ def subdivide_strand_segments(
 
     pts = np.asarray(strand_points, np.float32)
     segments = np.asarray(segments, np.int32)
+    texc = (np.asarray(tex_coords, np.float32)
+            if tex_coords is not None else None)
     n_ctrl = {"linear": 2, "quadratic": 3, "cubic": 4}[mode]
     k = subdivisions if subdivisions is not None else (
         1 if mode == "linear" else 6
@@ -278,7 +284,7 @@ def subdivide_strand_segments(
 
     out = {key: [] for key in (
         "p0", "p1", "r0", "r1", "color0", "color1", "u0", "u1",
-        "ctrl", "ctrl_r", "order",
+        "tex0", "tex1", "ctrl", "ctrl_r", "order",
     )}
     order_val = {"linear": 1, "quadratic": 2, "cubic": 3}[mode]
     for seg_start in segments:
@@ -299,6 +305,12 @@ def subdivide_strand_segments(
         out["color1"].append(color[1:])
         out["u0"].append(u[:-1])
         out["u1"].append(u[1:])
+        if texc is not None:
+            tx = basis @ texc[seg_start : seg_start + n_ctrl]
+        else:
+            tx = u
+        out["tex0"].append(tx[:-1])
+        out["tex1"].append(tx[1:])
         ctrl4 = np.zeros((4, 4), np.float32)
         ctrl4[:n_ctrl] = ctrl[:, :4]
         out["ctrl"].append(np.tile(ctrl4[None, :, :3], (k, 1, 1)))

@@ -69,9 +69,14 @@ from raytracerfacility_tpu.ops.pallas_fused import (
 
 BLOCK_ROWS = int(os.environ.get("RTF_TPU_SEG_ROWS", "64"))
 _LANES = 128
-# origin-cell bits per axis for the reorder key (3 -> 512 cells; key is
-# morton-major so neighbouring cells stay adjacent after the sort)
-MORTON_BITS = int(os.environ.get("RTF_TPU_SEG_MBITS", "3"))
+# origin-cell bits per axis for the reorder key (4 -> 4096 cells).
+# The key is OCTANT-MAJOR: a sorted tile then holds rays of ONE
+# direction octant whose origins form a morton-contiguous (compact)
+# cell run — both the chunk slab test's frustum and the origin spread
+# stay tight. Morton-major was measured worse: an 8192-ray tile spans
+# ~20 cells x all 8 octants, and the union frustum defeats culling
+# (canopy probe pools: 1.21x vs the 5.3x coherence headroom).
+MORTON_BITS = int(os.environ.get("RTF_TPU_SEG_MBITS", "4"))
 # reorder before segments 1, 1+k, 1+2k, ... (the reorder costs tens of
 # ms at 2M rays — see module docstring — so its cadence is a tunable
 # trade against the compaction/coherence win it buys)
@@ -420,9 +425,9 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
 
 
 def _morton_key(ox, oy, oz, dx, dy, dz, act, lo, inv_extent):
-    """int32 reorder key: morton-major origin cell, direction octant in
-    the low 3 bits; dead rays get INT32_MAX-ish keys so a stable argsort
-    compacts them to the pool tail."""
+    """int32 reorder key: direction octant in the HIGH bits, morton
+    origin cell below; dead rays get INT32_MAX-ish keys so a stable
+    argsort compacts them to the pool tail."""
     m = MORTON_BITS
     scale = float(1 << m)
     qx = jnp.clip(((ox - lo[0]) * inv_extent[0] * scale).astype(jnp.int32),
@@ -439,7 +444,7 @@ def _morton_key(ox, oy, oz, dx, dy, dz, act, lo, inv_extent):
     octant = ((dx < 0).astype(jnp.int32) * 4
               + (dy < 0).astype(jnp.int32) * 2
               + (dz < 0).astype(jnp.int32))
-    key = (code << 3) | octant
+    key = (octant << (3 * m)) | code
     return jnp.where(act > 0.0, key, jnp.int32(2147483647))
 
 

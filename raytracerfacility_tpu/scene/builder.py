@@ -169,7 +169,9 @@ def _bake_analytic_curves(geom, transform: np.ndarray, mode: str):
     ops/curve.py). Radii scale by the transform's uniform-scale factor."""
     from raytracerfacility_tpu.ops.curve import subdivide_strand_segments
 
-    sub = subdivide_strand_segments(geom.strand_points, geom.curve_segments, mode)
+    sub = subdivide_strand_segments(
+        geom.strand_points, geom.curve_segments, mode,
+        tex_coords=geom.strand_tex_coords)
     if sub is None:
         return None
     p0 = _transform_points(transform, sub["p0"])
@@ -180,8 +182,8 @@ def _bake_analytic_curves(geom, transform: np.ndarray, mode: str):
     n = p0.shape[0]
     zeros3 = np.zeros((n, 3, 3), np.float32)
     tex = np.zeros((n, 3, 2), np.float32)
-    tex[:, 0, 0] = sub["u0"]
-    tex[:, 1, 0] = sub["u1"]
+    tex[:, 0, 0] = sub["tex0"]
+    tex[:, 1, 0] = sub["tex1"]
     color = np.zeros((n, 3, 4), np.float32)
     color[:, 0] = sub["color0"]
     color[:, 1] = sub["color1"]

@@ -109,6 +109,29 @@ def test_fused_single_light_source_matches_wavefront(monkeypatch):
     assert img.std() > 0.02
 
 
+def test_sorted_camera_bitexact_vs_fused(monkeypatch):
+    """The segmented+reordered engine must be BIT-IDENTICAL to the fused
+    mega-kernel: permutations never change a ray's own arithmetic, and
+    the (t, prim-id) lexicographic best-hit min is visit-order
+    independent. Guards the reorder/scatter bookkeeping."""
+    compiled_f, cam, env = _scene("1", monkeypatch)
+    config = RenderConfig(
+        width=48, height=48, bounces=3, samples=1,
+        enable_textures=False, enable_vertex_color=False,
+        samples_in_lanes=True)
+    monkeypatch.setenv("RTF_TPU_SORTED", "1")
+    frame_s, rays_s = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(48, 48))
+    monkeypatch.setenv("RTF_TPU_SORTED", "0")
+    frame_f, rays_f = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(48, 48))
+    for name in ("color", "normal", "albedo"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(frame_s, name)),
+            np.asarray(getattr(frame_f, name)), err_msg=name)
+    assert float(rays_s) == float(rays_f)
+
+
 @pytest.mark.parametrize("env_kind", ["cubemap", "skydome"])
 def test_sorted_env_hook_matches_wavefront(monkeypatch, env_kind):
     """Cubemap Scene and Nishita Skydome environments run on the
