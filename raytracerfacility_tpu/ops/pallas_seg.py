@@ -67,8 +67,19 @@ from raytracerfacility_tpu.ops.pallas_fused import (
     TRI_CHUNK,
 )
 
-BLOCK_ROWS = int(os.environ.get("RTF_TPU_SEG_ROWS", "64"))
+# tile rows per kernel block: static per-call choice (see
+# _pick_block_rows) — big pools want 64 (8192-ray tiles amortize grid
+# steps), small incoherent pools want 16 (2048-ray tiles keep the
+# per-tile frustum tight: canopy probe pools measured 1.135 s at 16 vs
+# 1.342 s at 64 and 1.537 s at 8, where grid-step overhead wins)
+BLOCK_ROWS_ENV = os.environ.get("RTF_TPU_SEG_ROWS")
 _LANES = 128
+
+
+def _pick_block_rows(rows: int) -> int:
+    if BLOCK_ROWS_ENV is not None:
+        return int(BLOCK_ROWS_ENV)
+    return 64 if rows >= 8192 else 16
 # origin-cell bits per axis for the reorder key (4 -> 4096 cells).
 # The key is OCTANT-MAJOR: a sorted tile then holds rays of ONE
 # direction octant whose origins form a morton-contiguous (compact)
@@ -95,6 +106,7 @@ def _kernel(
     xla_env: bool,
     num_mats: int,
     nchunks: int,
+    block_rows: int,
 ):
     (o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_rng, o_act,
      o_tr, o_tg, o_tb, o_rr, o_rg, o_rb) = refs[:14]
@@ -113,9 +125,9 @@ def _kernel(
     # 0 for the camera, the estimator's 1e-3 probe offset for pools —
     # and bounce rays at the fixed 1e-3 self-intersection offset)
     if is_first:
-        tmin_v = jnp.zeros((BLOCK_ROWS, _LANES), jnp.float32) + envc[10]
+        tmin_v = jnp.zeros((block_rows, _LANES), jnp.float32) + envc[10]
     else:
-        tmin_v = jnp.zeros((BLOCK_ROWS, _LANES), jnp.float32) + _BOUNCE_TMIN
+        tmin_v = jnp.zeros((block_rows, _LANES), jnp.float32) + _BOUNCE_TMIN
 
     @pl.when(c == 0)
     def _segment_start():
@@ -359,11 +371,12 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("is_first", "has_cont", "xla_env", "rows",
-                     "interpret"),
+                     "block_rows", "interpret"),
 )
 def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
                   is_first: bool, has_cont: bool, rows: int,
-                  interpret: bool, xla_env: bool = False):
+                  interpret: bool, xla_env: bool = False,
+                  block_rows: int = 64):
     """One trace+shade segment over planar state ((rows, 128) planes).
 
     ``state`` = (ox, oy, oz, dx, dy, dz, rng(i32), act, tr, tg, tb,
@@ -372,11 +385,11 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
     middle / last segment — because every live ray at segment s carries
     hit_count == s (remote Mosaic compiles cost 30-300 s each; a
     per-segment-index specialization would pay that 9x per config)."""
-    tiles = rows // BLOCK_ROWS
+    tiles = rows // block_rows
     nchunks = table.shape[0] // TRI_CHUNK
     grid = (tiles, nchunks)
 
-    ray_spec = pl.BlockSpec((BLOCK_ROWS, _LANES), lambda i, c: (i, 0))
+    ray_spec = pl.BlockSpec((block_rows, _LANES), lambda i, c: (i, 0))
     tri_spec = pl.BlockSpec((TRI_CHUNK, _COLS), lambda i, c: (c, 0),
                             memory_space=pltpu.SMEM)
     sub_spec = pl.BlockSpec((TRI_CHUNK // SUB, 8), lambda i, c: (c, 0),
@@ -394,13 +407,14 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
         out_shape = out_shape + (plane,)
         n_out += 1
 
-    scratch = [pltpu.VMEM((BLOCK_ROWS, _LANES), jnp.float32)] * 6 + [
+    scratch = [pltpu.VMEM((block_rows, _LANES), jnp.float32)] * 6 + [
         pltpu.SMEM((1,), jnp.float32)
     ]
 
     kernel = functools.partial(
         _kernel, is_first=is_first, has_cont=has_cont, xla_env=xla_env,
         num_mats=int(mat_table.shape[0]), nchunks=nchunks,
+        block_rows=block_rows,
     )
     outs = pl.pallas_call(
         kernel,
@@ -459,7 +473,8 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         atmos_samples: int = 16,
                         atmos_samples_light: int = 8):
     r = origin.shape[0]
-    block = BLOCK_ROWS * _LANES
+    block_rows = _pick_block_rows((r + _LANES - 1) // _LANES)
+    block = block_rows * _LANES
     pad = (-r) % block
     if pad:
         origin = jnp.concatenate([origin, jnp.zeros((pad, 3), jnp.float32)], 0)
@@ -547,7 +562,7 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
     state, aovs, live0, miss = _segment_call(
         table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
         is_first=True, has_cont=bounces >= 1, rows=rows,
-        interpret=interpret, xla_env=xla_env)
+        interpret=interpret, xla_env=xla_env, block_rows=block_rows)
     total_live = live0
     if xla_env:
         state, light, m = add_env(state, prev, miss)
@@ -566,7 +581,7 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
         state, _, live_s, miss = _segment_call(
             table, sub_aabbs, chunk_aabbs, mat_table, env_vec, state,
             is_first=False, has_cont=s < bounces, rows=rows,
-            interpret=interpret, xla_env=xla_env)
+            interpret=interpret, xla_env=xla_env, block_rows=block_rows)
         total_live = total_live + live_s
         if xla_env:
             state, _, _ = add_env(state, prev, miss)
