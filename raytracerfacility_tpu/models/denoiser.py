@@ -39,8 +39,9 @@ class ConvBlock(nn.Module):
 
 
 class DenoiserUNet(nn.Module):
-    """3-scale residual U-Net: 9 input channels (color, albedo, normal) ->
-    residual RGB correction added to the noisy color."""
+    """3-scale residual U-Net: 9 input channels (demodulated log
+    irradiance, albedo, normal) -> residual correction added to the
+    input irradiance (see ``_demodulate`` for the domain)."""
 
     base_features: int = 24
 
@@ -66,9 +67,15 @@ class DenoiserUNet(nn.Module):
         )
         m0 = ConvBlock(self.base_features)(jnp.concatenate([u0, e0], axis=-1))
 
-        residual = nn.Conv(3, (3, 3), dtype=jnp.bfloat16,
-                           param_dtype=jnp.float32)(m0)
-        return (color + residual.astype(jnp.float32)).astype(jnp.float32)
+        # DIRECT prediction (not input + residual): the 1-spp input is
+        # dominated by fireflies/zero-pixels; a residual head passes every
+        # spike the net fails to exactly cancel, and the leftover speckle
+        # is what SSIM punishes hardest (measured: residual head wins MSE
+        # but loses SSIM to a plain gaussian blur). A direct head biases
+        # toward the smooth target instead.
+        out = nn.Conv(3, (3, 3), dtype=jnp.bfloat16,
+                      param_dtype=jnp.float32)(m0)
+        return out.astype(jnp.float32)
 
 
 def compute_intensity(color: jax.Array) -> jax.Array:
@@ -86,6 +93,27 @@ def compute_intensity(color: jax.Array) -> jax.Array:
     return k[..., None]
 
 
+_ALBEDO_EPS = 0.02
+
+
+def _demodulate(color: jax.Array, albedo: jax.Array) -> jax.Array:
+    """Albedo demodulation + log range compression: the network denoises
+    ``log1p(color / max(albedo, eps))`` — approximately the surface
+    IRRADIANCE — instead of radiance. The albedo factor carries all the
+    texture/material detail and is noise-free (it comes from the first-hit
+    AOV), so dividing it out leaves the network a smooth low-frequency
+    signal; log1p tames 1-spp fireflies, whose magnitudes otherwise
+    dominate an L1 loss. Both maps are exactly inverted by
+    ``_remodulate``, and both run AFTER the intensity normalization, so
+    exposure equivariance stays exact. Color clamps at 0 (radiance is
+    non-negative; log1p is undefined below -1)."""
+    return jnp.log1p(jnp.maximum(color, 0.0) / jnp.maximum(albedo, _ALBEDO_EPS))
+
+
+def _remodulate(pred: jax.Array, albedo: jax.Array) -> jax.Array:
+    return jnp.expm1(pred) * jnp.maximum(albedo, _ALBEDO_EPS)
+
+
 def _pad_to_multiple(img: jax.Array, multiple: int = 4) -> tuple[jax.Array, tuple]:
     h, w = img.shape[-3], img.shape[-2]
     ph = (-h) % multiple
@@ -94,6 +122,24 @@ def _pad_to_multiple(img: jax.Array, multiple: int = 4) -> tuple[jax.Array, tupl
         pad = [(0, 0)] * (img.ndim - 3) + [(0, ph), (0, pw), (0, 0)]
         img = jnp.pad(img, pad, mode="edge")
     return img, (h, w)
+
+
+@partial(jax.jit, static_argnames=("base_features",))
+def _denoise_jit(params, color, albedo, normal, blend, base_features):
+    """Whole-invoke jit: unjitted, the ~60-op U-Net pays the tunneled
+    runtime's ~1.5 ms/eager-dispatch per op (measured 850 ms for a 1080p
+    denoise); jitted it is one dispatch (measured ~23 ms)."""
+    model = DenoiserUNet(base_features)
+    c = color[None, ..., :3]
+    a = albedo[None, ..., :3]
+    n = normal[None, ..., :3]
+    k = compute_intensity(c)
+    c, (h, w) = _pad_to_multiple(_demodulate(c * k, a))
+    a, _ = _pad_to_multiple(a)
+    n, _ = _pad_to_multiple(n)
+    pred = model.apply(params, c, a, n)
+    out = _remodulate(pred, a)[0, :h, :w] / k[0]
+    return out * (1.0 - blend) + color[..., :3] * blend
 
 
 @dataclasses.dataclass
@@ -129,16 +175,9 @@ class Denoiser:
         ref RayTracer.cu:523-531) — exposure ranges outside the training
         distribution denoise identically to nominal ones."""
         assert self.params is not None, "init() or load params first"
-        c = color[None, ..., :3]
-        a = albedo[None, ..., :3]
-        n = normal[None, ..., :3]
-        k = compute_intensity(c)
-        c, (h, w) = _pad_to_multiple(c * k)
-        a, _ = _pad_to_multiple(a)
-        n, _ = _pad_to_multiple(n)
-        out = self.model.apply(self.params, c, a, n)[0, :h, :w] / k[0]
         blend = jnp.asarray(blend_factor, jnp.float32)
-        return out * (1.0 - blend) + color[..., :3] * blend
+        return _denoise_jit(self.params, color, albedo, normal, blend,
+                            self.base_features)
 
     @staticmethod
     def blend_factor(strength: float, frame_id: int, accumulate: bool) -> float:
@@ -195,8 +234,8 @@ def denoiser_loss(model: DenoiserUNet, params, batch) -> jax.Array:
     equally."""
     noisy, albedo, normal, clean = batch
     k = compute_intensity(noisy)
-    noisy = noisy * k
-    clean = clean * k
+    noisy = _demodulate(noisy * k, albedo)
+    clean = _demodulate(clean * k, albedo)
     pred = model.apply(params, noisy, albedo, normal)
     l1 = jnp.mean(jnp.abs(pred - clean))
     dy_p = pred[:, 1:] - pred[:, :-1]

@@ -34,60 +34,92 @@ from raytracerfacility_tpu.ops.camera import CameraProperties
 
 TILE = 128
 CLEAN_SPP = 64
-STEPS = int(os.environ.get("RTF_DENOISER_STEPS", "1500"))
+STEPS = int(os.environ.get("RTF_DENOISER_STEPS", "4000"))
 BATCH = 8
+CROP = 96  # random-crop augmentation size (matches the gate's eval size)
 
 
-def _scenes():
+def _scenes(group: int):
+    """One SCENE GROUP per process: each group shares one compiled scene
+    (one pair of compile sets), so a render stage fits the runtime's
+    watchdog budget."""
     from __graft_entry__ import _bench_scene
     from raytracerfacility_tpu.scene.procedural import build_canopy_scene
     from tests.test_smoke import build_test_scene
 
     out = []
-    # bench Cornell variant, several cameras
-    scene, cam, _ = _bench_scene(TILE, TILE)
-    compiled = scene.build()
-    for pose in [((0.0, 1.1, 2.6), (0.0, 0.8, 0.0)),
-                 ((1.2, 1.6, 2.0), (0.0, 0.5, 0.0)),
-                 ((-1.0, 0.6, 2.2), (0.2, 0.9, 0.0)),
-                 ((0.0, 2.2, 1.2), (0.0, 0.0, 0.0))]:
-        c = CameraProperties(fov=70.0, size=(TILE, TILE))
-        c.look_at_target(*pose)
-        out.append((compiled, c))
-    # smoke-test scene
-    compiled2 = build_test_scene().build()
-    for pose in [((0.0, 1.0, 2.4), (0.0, 0.9, 0.0)),
-                 ((1.5, 1.2, 1.8), (0.0, 0.7, 0.0))]:
-        c = CameraProperties(fov=80.0, size=(TILE, TILE))
-        c.look_at_target(*pose)
-        out.append((compiled2, c))
-    # canopy
-    compiled3 = build_canopy_scene(rows=5, cols=5).build()
-    for pose in [((1.5, 1.8, 1.5), (0.0, 0.6, 0.0)),
-                 ((0.0, 2.5, 2.5), (0.0, 0.2, 0.0))]:
-        c = CameraProperties(fov=60.0, size=(TILE, TILE))
-        c.look_at_target(*pose)
-        out.append((compiled3, c))
+    if group == 0:
+        scene, cam, _ = _bench_scene(TILE, TILE)
+        compiled = scene.build()
+        for pose in [((0.0, 1.1, 2.6), (0.0, 0.8, 0.0)),
+                     ((1.2, 1.6, 2.0), (0.0, 0.5, 0.0)),
+                     ((-1.0, 0.6, 2.2), (0.2, 0.9, 0.0)),
+                     ((0.0, 2.2, 1.2), (0.0, 0.0, 0.0))]:
+            c = CameraProperties(fov=70.0, size=(TILE, TILE))
+            c.look_at_target(*pose)
+            out.append((compiled, c))
+    elif group == 1:
+        compiled2 = build_test_scene().build()
+        for pose in [((0.0, 1.0, 2.4), (0.0, 0.9, 0.0)),
+                     ((1.5, 1.2, 1.8), (0.0, 0.7, 0.0))]:
+            c = CameraProperties(fov=80.0, size=(TILE, TILE))
+            c.look_at_target(*pose)
+            out.append((compiled2, c))
+    else:
+        compiled3 = build_canopy_scene(rows=5, cols=5).build()
+        for pose in [((1.5, 1.8, 1.5), (0.0, 0.6, 0.0)),
+                     ((0.0, 2.5, 2.5), (0.0, 0.2, 0.0))]:
+            c = CameraProperties(fov=60.0, size=(TILE, TILE))
+            c.look_at_target(*pose)
+            out.append((compiled3, c))
     return out
 
 
-def main() -> None:
+DATA_PATH = "/tmp/denoiser_pairs_{}.npz"
+GROUPS = 3
+
+
+def out_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "..",
+                        "raytracerfacility_tpu", "models",
+                        "denoiser_weights.npz")
+
+
+def render_data(group: int) -> None:
+    """Stage 1: render (noisy, aovs, clean) pairs for ONE scene group
+    (split so each stage fits the runtime's watchdog budget)."""
     env = EnvironmentProperties(skylight_intensity=1.0)
     config = RenderConfig(width=TILE, height=TILE, bounces=4, samples=1,
                           enable_textures=False, enable_vertex_color=False)
     batches = []
     t0 = time.time()
-    for si, (compiled, cam) in enumerate(_scenes()):
+    for si, (compiled, cam) in enumerate(_scenes(group)):
         pairs = render_training_pairs(
             compiled, cam.state(), env.state(), config,
-            num_pairs=6, clean_spp=CLEAN_SPP, seed=si * 1000 + 1,
+            num_pairs=6, clean_spp=CLEAN_SPP,
+            seed=(group * 100 + si) * 1000 + 1,
         )
         batches.append(pairs)
-        print(f"scene {si}: rendered 6 pairs ({time.time()-t0:.0f}s)",
-              flush=True)
-    data = tuple(jnp.concatenate(parts, axis=0) for parts in zip(*batches))
+        print(f"group {group} scene {si}: rendered 6 pairs "
+              f"({time.time()-t0:.0f}s)", flush=True)
+    data = tuple(np.asarray(jnp.concatenate(parts, axis=0))
+                 for parts in zip(*batches))
+    path = DATA_PATH.format(group)
+    np.savez_compressed(path, noisy=data[0], albedo=data[1],
+                        normal=data[2], clean=data[3])
+    print(f"saved {data[0].shape[0]} pairs to {path}", flush=True)
+
+
+def main() -> None:
+    t0 = time.time()
+    parts = [np.load(DATA_PATH.format(g)) for g in range(GROUPS)
+             if os.path.exists(DATA_PATH.format(g))]
+    assert parts, "run --render 0|1|2 first"
+    data = tuple(
+        jnp.asarray(np.concatenate([p[k] for p in parts], axis=0))
+        for k in ("noisy", "albedo", "normal", "clean"))
     n = data[0].shape[0]
-    print(f"dataset: {n} pairs", flush=True)
+    print(f"dataset: {n} pairs from {len(parts)} groups", flush=True)
 
     den = Denoiser()
     den.init(seed=0)
@@ -97,20 +129,38 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     params = den.params
+    data_np = tuple(np.asarray(d) for d in data)
     for it in range(STEPS):
         idx = rng.integers(0, n, BATCH)
-        batch = tuple(d[jnp.asarray(idx)] for d in data)
+        # augmentation: random 96-crop + dihedral flips/transpose (the
+        # normal AOV is a direction field, but the network never relies
+        # on a world frame — flips are label-consistent for denoising)
+        y0 = rng.integers(0, TILE - CROP + 1)
+        x0 = rng.integers(0, TILE - CROP + 1)
+        fy, fx, tr = rng.integers(0, 2, 3)
+        def aug(d):
+            d = d[idx, y0:y0 + CROP, x0:x0 + CROP]
+            if fy:
+                d = d[:, ::-1]
+            if fx:
+                d = d[:, :, ::-1]
+            if tr:
+                d = d.transpose(0, 2, 1, 3)
+            return jnp.asarray(np.ascontiguousarray(d))
+        batch = tuple(aug(d) for d in data_np)
         params, opt_state, loss = step(params, opt_state, batch)
         if it % 100 == 0 or it == STEPS - 1:
             print(f"step {it}: loss {float(loss):.5f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+        if it and it % 500 == 0:
+            # periodic checkpoint: the runtime's process watchdog can kill
+            # long runs; keep the latest weights instead of losing the run
+            den.params = params
+            den.save(out_path())
     den.params = params
 
-    out = os.path.join(os.path.dirname(__file__), "..",
-                       "raytracerfacility_tpu", "models",
-                       "denoiser_weights.npz")
-    den.save(out)
-    print("saved", out, flush=True)
+    den.save(out_path())
+    print("saved", out_path(), flush=True)
 
     # quick quality report: denoised 1-spp vs clean on a held-out render
     from raytracerfacility_tpu.utils.image import ssim
@@ -123,4 +173,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--render" in sys.argv:
+        render_data(int(sys.argv[sys.argv.index("--render") + 1]))
+    else:
+        main()

@@ -83,3 +83,27 @@ def test_sharded_training_step():
     )
     max_diff = max(jax.tree.leaves(diff))
     assert max_diff < 1e-5, max_diff
+
+
+def test_denoiser_hdr_exposure_equivariance():
+    """The intensity normalization (the optixDenoiserComputeIntensity
+    analog, ref RayTracer.cu:523-531) makes the denoiser EXACTLY exposure
+    equivariant by construction: denoise(e * color) == e * denoise(color)
+    for any exposure e, so exposure ranges outside the training
+    distribution behave identically to nominal ones."""
+    import jax.numpy as jnp
+
+    from raytracerfacility_tpu.models.denoiser import Denoiser
+
+    den = Denoiser(base_features=8)
+    den.init(seed=3)
+    rng = np.random.default_rng(7)
+    color = jnp.asarray(rng.uniform(0.0, 1.0, (32, 32, 3)).astype("float32"))
+    albedo = jnp.asarray(rng.uniform(0.0, 1.0, (32, 32, 3)).astype("float32"))
+    normal = jnp.asarray(rng.uniform(-1.0, 1.0, (32, 32, 3)).astype("float32"))
+    base = np.asarray(den.denoise(color, albedo, normal))
+    for e in (0.125, 8.0, 64.0):
+        out = np.asarray(den.denoise(color * e, albedo, normal))
+        # equivariance is exact in f32; the bf16 convs add sub-1e-3
+        # scale-dependent rounding noise
+        assert np.abs(out / e - base).max() < 2e-3, e

@@ -1,13 +1,27 @@
 """Shipped denoiser checkpoint quality gate.
 
 The reference ships a working denoiser (OptiX, ref RayTracer.cu:508-556);
-this framework ships scripts/train_denoiser.py's checkpoint. The gate:
-denoising a 1-spp frame must land meaningfully closer (SSIM) to a
-high-spp clean render than the noisy input does, on a camera pose that
-was NOT in the training set.
+this framework ships scripts/train_denoiser.py's checkpoint. The gates:
+
+* denoising a 1-spp frame must land close (SSIM) to a CONVERGED clean
+  target on a camera pose that was NOT in the training set, and beat the
+  noisy input by a clear margin;
+* an 8x-exposure HDR variant of the same frame must denoise just as well
+  — the inverse-average-log-luminance intensity normalization (the
+  optixDenoiserComputeIntensity analog, ref RayTracer.cu:523-531) makes
+  the network exposure-equivariant.
+
+The clean target is PINNED (tests/goldens/denoiser_clean_96.npy, a
+2048-spp accumulated render of the gate pose by this framework's own
+tracer — scripts/render_denoiser_golden.py). A clean target rendered
+in-test at CI-affordable spp is itself too noisy to gate against:
+measured, two independent 32-spp renders of this pose agree only to
+SSIM 0.34, capping even a PERFECT denoiser's measurable score near
+0.43. Against the converged target the scores separate properly.
 """
 
 import dataclasses
+import os
 
 import numpy as np
 import jax.numpy as jnp
@@ -24,38 +38,61 @@ from raytracerfacility_tpu.ops.camera import CameraProperties
 from raytracerfacility_tpu.utils.image import ssim
 from tests.test_smoke import build_test_scene
 
+# absolute SSIM bar for the shipped checkpoint on the held-out pose
+# (denoised 1-spp vs the pinned 2048-spp converged target); the noisy
+# input scores ~0.10 and a gaussian blur ~0.35 on this measure
+SSIM_GATE = 0.60
 
-def test_packaged_denoiser_beats_noisy_input():
-    den = default_denoiser()
-    if den is None:
-        pytest.fail("no packaged denoiser checkpoint "
-                    "(run scripts/train_denoiser.py)")
+_GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
+                       "denoiser_clean_96.npy")
 
+
+@pytest.fixture(scope="module")
+def frames():
     compiled = build_test_scene().build()
     cam = CameraProperties(fov=75.0, size=(96, 96))
-    # held-out pose (training used (0,1,2.4)/(1.5,1.2,1.8)-style poses)
+    # held-out pose (training used (0,1,2.4)/(1.5,1.2,1.8)-style poses);
+    # MUST match scripts/render_denoiser_golden.py
     cam.look_at_target((-1.3, 1.7, 1.9), (0.2, 0.6, 0.0))
     env = EnvironmentProperties().state()
     base = RenderConfig(width=96, height=96, bounces=3, samples=1,
                         accumulate=False, enable_textures=False,
                         enable_vertex_color=False)
-
     noisy = render_frame_jit(
         compiled, cam.state(), env, base,
         dataclasses.replace(init_frame(96, 96), frame_id=jnp.int32(31)))
-    clean_cfg = dataclasses.replace(base, samples=32)
-    clean = render_frame_jit(
-        compiled, cam.state(), env, clean_cfg,
-        dataclasses.replace(init_frame(96, 96), frame_id=jnp.int32(31)))
+    clean = np.load(_GOLDEN)
+    return noisy, clean
 
+
+def test_packaged_denoiser_quality(frames):
+    den = default_denoiser()
+    if den is None:
+        pytest.fail("no packaged denoiser checkpoint "
+                    "(run scripts/train_denoiser.py)")
+    noisy, clean = frames
     denoised = np.asarray(den.denoise(
         noisy.color[..., :3], noisy.albedo[..., :3], noisy.normal[..., :3]))
-    c = np.asarray(clean.color[..., :3])
     n = np.asarray(noisy.color[..., :3])
 
-    s_noisy = ssim(n, c)
-    s_den = ssim(denoised, c)
+    s_noisy = ssim(n, clean)
+    s_den = ssim(denoised, clean)
     assert np.isfinite(denoised).all()
-    # must beat the noisy input by a clear margin
-    assert s_den > s_noisy + 0.15, (s_noisy, s_den)
-    assert s_den > 0.35, s_den
+    assert s_den > s_noisy + 0.3, (s_noisy, s_den)
+    assert s_den > SSIM_GATE, (s_noisy, s_den)
+
+
+def test_packaged_denoiser_hdr_exposure(frames):
+    """8x exposure outside the training distribution: the intensity
+    normalization must hold quality at the same gate."""
+    den = default_denoiser()
+    if den is None:
+        pytest.fail("no packaged denoiser checkpoint")
+    noisy, clean = frames
+    e = 8.0
+    denoised = np.asarray(den.denoise(
+        noisy.color[..., :3] * e, noisy.albedo[..., :3],
+        noisy.normal[..., :3])) / e
+    s_den = ssim(denoised, clean)
+    assert np.isfinite(denoised).all()
+    assert s_den > SSIM_GATE, s_den
