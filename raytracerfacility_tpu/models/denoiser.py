@@ -111,7 +111,23 @@ def _demodulate(color: jax.Array, albedo: jax.Array) -> jax.Array:
 
 
 def _remodulate(pred: jax.Array, albedo: jax.Array) -> jax.Array:
-    return jnp.expm1(pred) * jnp.maximum(albedo, _ALBEDO_EPS)
+    # the target domain is log1p(non-negative), so a valid prediction is
+    # in [0, ~13] (log1p(max_color / eps)); clamping keeps a bf16
+    # activation blow-up from overflowing expm1 to inf (pred > 88)
+    return jnp.expm1(jnp.clip(pred, 0.0, 30.0)) * jnp.maximum(albedo, _ALBEDO_EPS)
+
+
+def _albedo_guide(albedo: jax.Array) -> jax.Array:
+    """Normalize the albedo GUIDE INPUT to [0, 1] (the OptiX denoiser's
+    guide-layer range contract, which the reference satisfies implicitly
+    for LDR materials). HDR albedo AOVs (a decoded BTF can reach 1e3+)
+    otherwise explode the bf16 conv activations far outside the training
+    distribution. Frames whose albedo is already <= 1 (the training
+    distribution) pass through unchanged, so the packaged checkpoint is
+    unaffected. Only the network input is scaled — the demodulation
+    divisor stays raw, so _remodulate still inverts _demodulate exactly."""
+    peak = jnp.max(albedo, axis=(-3, -2, -1), keepdims=True)
+    return albedo / jnp.maximum(1.0, peak)
 
 
 def _pad_to_multiple(img: jax.Array, multiple: int = 4) -> tuple[jax.Array, tuple]:
@@ -137,7 +153,7 @@ def _denoise_jit(params, color, albedo, normal, blend, base_features):
     c, (h, w) = _pad_to_multiple(_demodulate(c * k, a))
     a, _ = _pad_to_multiple(a)
     n, _ = _pad_to_multiple(n)
-    pred = model.apply(params, c, a, n)
+    pred = model.apply(params, c, _albedo_guide(a), n)
     out = _remodulate(pred, a)[0, :h, :w] / k[0]
     return out * (1.0 - blend) + color[..., :3] * blend
 
@@ -236,7 +252,7 @@ def denoiser_loss(model: DenoiserUNet, params, batch) -> jax.Array:
     k = compute_intensity(noisy)
     noisy = _demodulate(noisy * k, albedo)
     clean = _demodulate(clean * k, albedo)
-    pred = model.apply(params, noisy, albedo, normal)
+    pred = model.apply(params, noisy, _albedo_guide(albedo), normal)
     l1 = jnp.mean(jnp.abs(pred - clean))
     dy_p = pred[:, 1:] - pred[:, :-1]
     dy_c = clean[:, 1:] - clean[:, :-1]

@@ -64,6 +64,9 @@ from raytracerfacility_tpu.scene.compiled import CompiledScene
 _TMAX = 1e20
 _BOUNCE_TMIN = 1e-3
 _ALPHA_SKIP_EPS = 1e-4
+# poisoned trace window for lanes whose result is masked out anyway
+# (matches the fused kernels' dead-lane sentinel, ops/pallas_brute._DEAD)
+_DEAD_TMAX = -3.0e38
 
 
 @dataclasses.dataclass(frozen=True)
@@ -182,7 +185,13 @@ def _segment(
     s: PathState,
 ) -> PathState:
     """One path segment: trace + shade + continue/terminate."""
-    res = trace_closest(scene, s.origin, s.direction, s.tmin, _TMAX)
+    # terminated lanes trace with a poisoned window (tmax = -3e38): every
+    # slab test culls them, they drop out of the per-tile chunk-cull
+    # bundles (ops/chunk_order.py), and tiles whose lanes all terminated
+    # skip every chunk window outright — compaction-lite without moving
+    # any ray state
+    res = trace_closest(scene, s.origin, s.direction, s.tmin,
+                        jnp.where(s.active, _TMAX, _DEAD_TMAX))
     where = jnp.where
 
     # ---- miss: environment radiance (ref MissFunc, RayFunctions.cuh:260-272)
@@ -294,7 +303,11 @@ def _segment(
         )
         ndotl = dot(surf.shading_normal, sun_dir, keepdims=False)
         do_nee = accepted & (ndotl > 0.0)
-        occluded = trace_any(scene, hit.position, sun_dir, _BOUNCE_TMIN, _TMAX)
+        # lanes with no NEE to resolve trace with a poisoned window (see
+        # trace_closest above): occlusion-query tiles cull to the lanes
+        # that actually need the shadow ray
+        occluded = trace_any(scene, hit.position, sun_dir, _BOUNCE_TMIN,
+                             where(do_nee, _TMAX, _DEAD_TMAX))
         sun_radiance = calculate_environmental_light(
             hit.position, sun_dir, env, config.lighting_type
         )

@@ -21,6 +21,19 @@ which is exactly what a hierarchy over Morton-ordered runs provides:
   (streamed scenes pay only the window DMA, ~25 KB);
 * level 2: per SUB run (32 triangles), an AABB slab test skips the run.
 
+Chunk VISITATION is per-tile front-to-back and conservatively culled
+(ops/chunk_order.py, shared with the segmented engine in
+ops/pallas_seg.py): the grid's chunk axis is a visit STEP, the actual
+chunk comes from a scalar-prefetch ``order[tile, step]`` table computed
+XLA-side. Chunks provably missed by every lane of the tile repeat the
+previous window index (Pallas elides the repeated HBM->SMEM DMA,
+measured 5.3 us per window fill) and gate the body off via
+``skip[tile, step]``; accepted chunks visit near-to-far, so early hits
+shrink best-t and the in-kernel (near <= best_t) slab term culls the far
+scene — the occlusion win the reference gets from RT-core near-to-far
+BVH order. Results are bit-identical under any visit order: the best-hit
+record is a lexicographic (t, original-prim-id) min.
+
 Rays whose best-t is already unbeatable (dead lanes carry -3e38 from the
 fused path; any-hit lanes after their first hit) fall out of every slab
 test, so the cull sharpens as the tile completes. This is the
@@ -54,6 +67,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from raytracerfacility_tpu.ops.chunk_order import chunk_order
 from raytracerfacility_tpu.ops.intersect import TraceResult
 
 # rays per grid step, in (BLOCK_ROWS, 128) f32 tiles
@@ -65,6 +79,12 @@ TRI_CHUNK = int(os.environ.get("RTF_TPU_BRUTE_CHUNK", "512"))
 # triangles per cullable sub-chunk: rows are Morton-ordered at pack time so
 # each run is spatially compact; TRI_CHUNK/SUB must be a multiple of 8
 SUB = int(os.environ.get("RTF_TPU_BRUTE_SUB", "32"))
+# primitive-loop unroll factor: the ~40-op pair test runs at ~25% of VPU
+# peak at unroll 1 (bench.py roofline proxy) — unrolling overlaps the
+# per-row SMEM scalar loads with the previous row's vector math;
+# semantics (accept order, tie rule) are unchanged (lax.fori_loop unroll
+# is sequential)
+UNROLL = int(os.environ.get("RTF_TPU_UNROLL", "1"))
 _LANES = 128
 _DET_EPS = 1e-12
 _DEAD = -3.0e38
@@ -169,14 +189,20 @@ def pack_tri_table(v0, e1, e2, kind=None):
 
 
 def _make_kernel(any_hit: bool):
-    def _kernel(tris_ref, sub_ref, chunk_ref, ox, oy, oz, dx, dy, dz,
+    def _kernel(order_ref, skip_ref, tris_ref, sub_ref, chunk_ref,
+                ox, oy, oz, dx, dy, dz,
                 tmn, tmx, t_ref, prim_ref, u_ref, v_ref):
         o_x, o_y, o_z = ox[...], oy[...], oz[...]
         d_x, d_y, d_z = dx[...], dy[...], dz[...]
         tmin_v = tmn[...]
-        chunk_id = pl.program_id(1)
+        step = pl.program_id(1)
+        # front-to-back culled visitation: the actual chunk this step
+        # (ops/chunk_order.py; window index maps read the same table, so
+        # culled steps re-window the previous chunk and skip the DMA)
+        chunk_id = order_ref[pl.program_id(0), step]
+        do_step = skip_ref[pl.program_id(0), step] == 0
 
-        @pl.when(chunk_id == 0)
+        @pl.when(step == 0)
         def _init():
             t_ref[...] = tmx[...]
             prim_ref[...] = jnp.full_like(tmx[...], -1.0)
@@ -349,11 +375,11 @@ def _make_kernel(any_hit: bool):
 
             def run_t(c):
                 return jax.lax.fori_loop(si * SUB, si * SUB + SUB,
-                                         tri_body, c)
+                                         tri_body, c, unroll=UNROLL)
 
             def run_c(c):
                 return jax.lax.fori_loop(si * SUB, si * SUB + SUB,
-                                         curve_body, c)
+                                         curve_body, c, unroll=UNROLL)
 
             carry = jax.lax.cond(go & (run_kind < 0.5), run_t,
                                  lambda c: c, carry)
@@ -373,7 +399,7 @@ def _make_kernel(any_hit: bool):
             return jax.lax.fori_loop(0, TRI_CHUNK // SUB, sub_body, c)
 
         best_t, best_prim, best_u, best_v = jax.lax.cond(
-            jnp.any(centered), run_chunk, lambda c: c, carry
+            do_step & jnp.any(centered), run_chunk, lambda c: c, carry
         )
         t_ref[...] = best_t
         prim_ref[...] = best_prim
@@ -415,24 +441,38 @@ def _trace(tri_table, sub_aabbs, chunk_aabbs, origin, direction, tmin, tmax,
         plane(direction[:, 0]), plane(direction[:, 1]), plane(direction[:, 2]),
         plane(tmin), plane(tmax),
     )
-    # grid: (ray blocks, tri chunks); chunks iterate innermost so each ray
+    # grid: (ray blocks, visit steps); steps iterate innermost so each ray
     # block's best-hit record accumulates in its revisited VMEM output block
-    grid = (rows // BLOCK_ROWS, num_tris // TRI_CHUNK)
-    ray_spec = pl.BlockSpec((BLOCK_ROWS, _LANES), lambda i, c: (i, 0))
-    tri_spec = pl.BlockSpec((TRI_CHUNK, _COLS), lambda i, c: (c, 0),
+    nchunks = num_tris // TRI_CHUNK
+    grid = (rows // BLOCK_ROWS, nchunks)
+    # per-tile front-to-back culled chunk order (ops/chunk_order.py);
+    # a lane can only accept a hit in (tmin, tmax), so tmax <= tmin
+    # lanes (pool padding, fused-path dead lanes at -3e38) are excluded
+    # from the cull bundle
+    order, skip = chunk_order(
+        ray_ins[0], ray_ins[1], ray_ins[2], ray_ins[3], ray_ins[4],
+        ray_ins[5], ray_ins[7] > ray_ins[6], chunk_aabbs[:nchunks],
+        BLOCK_ROWS)
+    ray_spec = pl.BlockSpec((BLOCK_ROWS, _LANES), lambda i, c, o, s: (i, 0))
+    tri_spec = pl.BlockSpec((TRI_CHUNK, _COLS), lambda i, c, o, s: (o[i, c], 0),
                             memory_space=pltpu.SMEM)
-    sub_spec = pl.BlockSpec((TRI_CHUNK // SUB, 8), lambda i, c: (c, 0),
+    sub_spec = pl.BlockSpec((TRI_CHUNK // SUB, 8),
+                            lambda i, c, o, s: (o[i, c], 0),
                             memory_space=pltpu.SMEM)
     chunk_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[tri_spec, sub_spec, chunk_spec] + [ray_spec] * 8,
+        out_specs=[ray_spec] * 4,
+    )
     t, prim, u, v = pl.pallas_call(
         _kernel_any if any_hit else _kernel_closest,
-        grid=grid,
-        in_specs=(tri_spec, sub_spec, chunk_spec) + (ray_spec,) * 8,
-        out_specs=(ray_spec,) * 4,
+        grid_spec=grid_spec,
         out_shape=(out_shape,) * 4,
         interpret=interpret,
-    )(tri_table, sub_aabbs, chunk_aabbs, *ray_ins)
+    )(order, skip, tri_table, sub_aabbs, chunk_aabbs, *ray_ins)
 
     def unplane(x):
         return x.reshape(rp)[:r]

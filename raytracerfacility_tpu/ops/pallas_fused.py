@@ -63,6 +63,9 @@ TRI_CHUNK = int(os.environ.get("RTF_TPU_FUSED_CHUNK", "512"))
 # triangles per cullable sub-chunk (Morton-ordered runs); TRI_CHUNK/SUB
 # must be a multiple of 8 (TPU block-shape rule for the sub-AABB window)
 SUB = int(os.environ.get("RTF_TPU_FUSED_SUB", "32"))
+# primitive-loop unroll: overlaps SMEM scalar loads with vector math
+# (see ops/pallas_brute.py UNROLL); sequential semantics are preserved
+UNROLL = int(os.environ.get("RTF_TPU_UNROLL", "1"))
 _LANES = 128
 _DET_EPS = 1e-12
 _TMAX = 1e20
@@ -318,7 +321,8 @@ def _kernel(
                          subs[si, 3], subs[si, 4], subs[si, 5], carry[0])
 
             def run(b):
-                return jax.lax.fori_loop(si * SUB, si * SUB + SUB, tri_body, b)
+                return jax.lax.fori_loop(si * SUB, si * SUB + SUB, tri_body, b,
+                                         unroll=UNROLL)
 
             return jax.lax.cond(jnp.any(enter), run, lambda b: b, carry)
 
@@ -490,7 +494,7 @@ def _kernel(
 
                 def run(b):
                     return jax.lax.fori_loop(si * SUB, si * SUB + SUB,
-                                             tri_any, b)
+                                             tri_any, b, unroll=UNROLL)
 
                 return jax.lax.cond(jnp.any(enter), run, lambda b: b, bt)
 

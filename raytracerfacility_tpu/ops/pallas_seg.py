@@ -65,6 +65,7 @@ from raytracerfacility_tpu.ops.pallas_fused import (
     _lcg,
     SUB,
     TRI_CHUNK,
+    UNROLL,
 )
 
 # tile rows per kernel block: static per-call choice (see
@@ -229,7 +230,8 @@ def _kernel(
                          subs[si, 3], subs[si, 4], subs[si, 5], carry[0])
 
             def run(b):
-                return jax.lax.fori_loop(si * SUB, si * SUB + SUB, tri_body, b)
+                return jax.lax.fori_loop(si * SUB, si * SUB + SUB, tri_body, b,
+                                         unroll=UNROLL)
 
             return jax.lax.cond(jnp.any(enter), run, lambda b: b, carry)
 
@@ -470,92 +472,13 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
 
 
 def _chunk_order(state, chunk_aabbs, block_rows):
-    """Conservative per-tile chunk cull + front-to-back visit order.
+    """Per-tile front-to-back culled chunk order (see ops/chunk_order.py;
+    shared with the wavefront trace kernel in ops/pallas_brute.py)."""
+    from raytracerfacility_tpu.ops.chunk_order import chunk_order
 
-    Returns (order, skip), both (tiles, nchunks) int32. ``order[t, c]``
-    is the chunk to visit at step ``c`` of tile ``t``: chunks that MAY
-    be hit by some live ray of the tile come first, ordered by a lower
-    bound on their slab entry distance (front-to-back: early near hits
-    shrink b_t and the (near <= b_t) slab term culls the far scene).
-    Steps for chunks PROVABLY missed by every live ray repeat the last
-    accepted chunk's index — Pallas elides the repeated window's
-    HBM->SMEM DMA (measured 5.3 us per 41 KB fill, the dominant
-    per-step floor on many-chunk scenes) — and carry ``skip == 1`` so
-    the kernel's trace body never runs for them (re-visiting a chunk
-    would be harmless anyway: the best-hit update is idempotent).
-
-    The proof is interval arithmetic over the tile's live-ray bundle:
-    per-axis origin range [olo, ohi] and direction range [dlo, dhi].
-    For each chunk, the slab times t1 = (lo - o) * (1/d) and
-    t2 = (hi - o) * (1/d) are bounded by the four endpoint products;
-    per-ray near = max_axis min(t1, t2) is then >= near_lb =
-    max_axis min(t1_lb, t2_lb) and far = min_axis max(t1, t2) <=
-    far_ub = min_axis max(t1_ub, t2_ub), so (near_lb <= far_ub) &
-    (far_ub > 0) is implied by ANY ray hitting the slab — rejecting its
-    negation is safe. An axis whose direction range straddles zero
-    contributes no constraint (post-reorder tiles share one octant, so
-    this mostly affects tail/mixed tiles and costs only looseness, not
-    correctness). Pad chunks (inverted AABBs, zero-filled rows that no
-    ray can hit) are always rejected. Cost: (tiles, nchunks) interval
-    math + one argsort — micro-work next to the trace."""
     ox, oy, oz, dx, dy, dz = state[:6]
-    act = state[7]
-    tiles = ox.shape[0] // block_rows
-    nchunks = chunk_aabbs.shape[0]
-
-    big = jnp.float32(3.4e38)
-    w = (act > 0.0).reshape(tiles, -1)
-
-    def rng_of(p):
-        v = p.reshape(tiles, -1)
-        return (jnp.min(jnp.where(w, v, big), axis=1),
-                jnp.max(jnp.where(w, v, -big), axis=1))
-
-    o_lo = jnp.stack([rng_of(p)[0] for p in (ox, oy, oz)], -1)  # (T,3)
-    o_hi = jnp.stack([rng_of(p)[1] for p in (ox, oy, oz)], -1)
-    d_lo = jnp.stack([rng_of(p)[0] for p in (dx, dy, dz)], -1)
-    d_hi = jnp.stack([rng_of(p)[1] for p in (dx, dy, dz)], -1)
-
-    # inverse-direction interval; a sign-straddling axis is unbounded
-    straddle = (d_lo <= 0.0) & (d_hi >= 0.0)
-    i_a = 1.0 / jnp.where(straddle, 1.0, d_lo)
-    i_b = 1.0 / jnp.where(straddle, 1.0, d_hi)
-    inv_lo = jnp.minimum(i_a, i_b)[:, None]   # (T,1,3)
-    inv_hi = jnp.maximum(i_a, i_b)[:, None]
-    str_b = straddle[:, None]
-
-    lo = chunk_aabbs[None, :, 0:3]  # (1, C, 3)
-    hi = chunk_aabbs[None, :, 3:6]
-
-    def prod_iv(a_lo, a_hi):
-        cands = (a_lo * inv_lo, a_lo * inv_hi, a_hi * inv_lo, a_hi * inv_hi)
-        return (jnp.minimum(jnp.minimum(cands[0], cands[1]),
-                            jnp.minimum(cands[2], cands[3])),
-                jnp.maximum(jnp.maximum(cands[0], cands[1]),
-                            jnp.maximum(cands[2], cands[3])))
-
-    t1_lb, t1_ub = prod_iv(lo - o_hi[:, None], lo - o_lo[:, None])
-    t2_lb, t2_ub = prod_iv(hi - o_hi[:, None], hi - o_lo[:, None])
-    tmin_lb = jnp.where(str_b, -big, jnp.minimum(t1_lb, t2_lb))
-    tmax_ub = jnp.where(str_b, big, jnp.maximum(t1_ub, t2_ub))
-    near_lb = jnp.max(tmin_lb, axis=-1)  # (T, C)
-    far_ub = jnp.min(tmax_ub, axis=-1)
-
-    pad = (chunk_aabbs[:, 0] > chunk_aabbs[:, 3])[None]  # inverted AABB
-    has_live = jnp.any(w, axis=1)[:, None]  # all-dead tiles skip everything
-    accepted = (near_lb <= far_ub) & (far_ub > 0.0) & ~pad & has_live
-
-    key = jnp.where(accepted, jnp.maximum(near_lb, 0.0), jnp.inf)
-    sidx = jnp.argsort(key, axis=1).astype(jnp.int32)  # (T, C)
-    if os.environ.get("RTF_TPU_SEG_CULL", "1") != "1":
-        return sidx, jnp.zeros_like(sidx)  # f2b only, no culled steps
-    count = jnp.sum(accepted, axis=1).astype(jnp.int32)  # (T,)
-    last = jnp.take_along_axis(
-        sidx, jnp.maximum(count - 1, 0)[:, None], axis=1)  # (T, 1)
-    pos = jnp.arange(nchunks, dtype=jnp.int32)[None]
-    culled = pos >= count[:, None]
-    return (jnp.where(culled, last, sidx),
-            culled.astype(jnp.int32))
+    return chunk_order(ox, oy, oz, dx, dy, dz, state[7] > 0.0,
+                       chunk_aabbs, block_rows)
 
 
 def _morton_key(ox, oy, oz, dx, dy, dz, act, lo, inv_extent):

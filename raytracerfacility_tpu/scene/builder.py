@@ -694,19 +694,18 @@ def build_compiled_scene(
         # overrides. Curve rows dispatch in-kernel by their kind flag.
         pallas_tris = None
         fused_geom = None
-        if True:
-            import os
+        import os
 
-            import jax
+        import jax
 
-            flag = os.environ.get("RTF_TPU_PALLAS_BRUTE")
-            enabled = (jax.default_backend() == "tpu") if flag is None else flag == "1"
-            if enabled:
-                from raytracerfacility_tpu.ops.pallas_brute import pack_tri_table
+        flag = os.environ.get("RTF_TPU_PALLAS_BRUTE")
+        enabled = (jax.default_backend() == "tpu") if flag is None else flag == "1"
+        if enabled:
+            from raytracerfacility_tpu.ops.pallas_brute import pack_tri_table
 
-                pallas_tris = pack_tri_table(
-                    geometry.v0, geometry.e1, geometry.e2,
-                    kind=geometry.kind if has_curves else None)
+            pallas_tris = pack_tri_table(
+                geometry.v0, geometry.e1, geometry.e2,
+                kind=geometry.kind if has_curves else None)
         cache["ensemble"] = (ensemble_key, dict(
             geometry=geometry, has_curves=has_curves, num_tris=num_tris,
             bvh=bvh, pallas_tris=pallas_tris, fused_geom=None,
