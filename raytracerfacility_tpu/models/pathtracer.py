@@ -110,11 +110,26 @@ class RenderConfig:
         return self.bounces + 1 + self.alpha_segments
 
 
+def _row_engine_enabled(scene: CompiledScene) -> bool:
+    """Opt-in row-bundle trace engine (ops/pallas_row.py): vector-broadcast
+    triangles + 128-ray cull bundles, triangle-only scenes. RTF_TPU_ROW=1
+    enables; curve scenes always use the scalar-broadcast engine."""
+    import os
+
+    return (os.environ.get("RTF_TPU_ROW") == "1"
+            and not scene.geometry.has_curves)
+
+
 def trace_closest(scene: CompiledScene, origin, direction, tmin, tmax) -> TraceResult:
     """Traversal dispatch: Pallas mega-kernel when packed (one
     op-execution for the whole trace; ops/pallas_brute.py), else LBVH when
     built, else the brute-force oracle."""
     if scene.pallas_tris is not None:
+        if _row_engine_enabled(scene):
+            from raytracerfacility_tpu.ops.pallas_row import trace_closest_row
+
+            return trace_closest_row(scene.pallas_tris, origin, direction,
+                                     tmin, tmax)
         from raytracerfacility_tpu.ops.pallas_brute import trace_closest_pallas
 
         return trace_closest_pallas(scene.pallas_tris, origin, direction, tmin, tmax)
@@ -131,6 +146,11 @@ def trace_closest(scene: CompiledScene, origin, direction, tmin, tmax) -> TraceR
 
 def trace_any(scene: CompiledScene, origin, direction, tmin, tmax) -> jax.Array:
     if scene.pallas_tris is not None:
+        if _row_engine_enabled(scene):
+            from raytracerfacility_tpu.ops.pallas_row import trace_any_row
+
+            return trace_any_row(scene.pallas_tris, origin, direction,
+                                 tmin, tmax)
         from raytracerfacility_tpu.ops.pallas_brute import trace_any_pallas
 
         return trace_any_pallas(scene.pallas_tris, origin, direction, tmin, tmax)
