@@ -110,26 +110,11 @@ class RenderConfig:
         return self.bounces + 1 + self.alpha_segments
 
 
-def _row_engine_enabled(scene: CompiledScene) -> bool:
-    """Opt-in row-bundle trace engine (ops/pallas_row.py): vector-broadcast
-    triangles + 128-ray cull bundles, triangle-only scenes. RTF_TPU_ROW=1
-    enables; curve scenes always use the scalar-broadcast engine."""
-    import os
-
-    return (os.environ.get("RTF_TPU_ROW") == "1"
-            and not scene.geometry.has_curves)
-
-
 def trace_closest(scene: CompiledScene, origin, direction, tmin, tmax) -> TraceResult:
     """Traversal dispatch: Pallas mega-kernel when packed (one
     op-execution for the whole trace; ops/pallas_brute.py), else LBVH when
     built, else the brute-force oracle."""
     if scene.pallas_tris is not None:
-        if _row_engine_enabled(scene):
-            from raytracerfacility_tpu.ops.pallas_row import trace_closest_row
-
-            return trace_closest_row(scene.pallas_tris, origin, direction,
-                                     tmin, tmax)
         from raytracerfacility_tpu.ops.pallas_brute import trace_closest_pallas
 
         return trace_closest_pallas(scene.pallas_tris, origin, direction, tmin, tmax)
@@ -146,11 +131,6 @@ def trace_closest(scene: CompiledScene, origin, direction, tmin, tmax) -> TraceR
 
 def trace_any(scene: CompiledScene, origin, direction, tmin, tmax) -> jax.Array:
     if scene.pallas_tris is not None:
-        if _row_engine_enabled(scene):
-            from raytracerfacility_tpu.ops.pallas_row import trace_any_row
-
-            return trace_any_row(scene.pallas_tris, origin, direction,
-                                 tmin, tmax)
         from raytracerfacility_tpu.ops.pallas_brute import trace_any_pallas
 
         return trace_any_pallas(scene.pallas_tris, origin, direction, tmin, tmax)
@@ -556,7 +536,7 @@ def fused_compatible(scene: CompiledScene, env: EnvironmentState,
     sls_mode = (config.lighting_type
                 == EnvironmentalLightingType.SINGLE_LIGHT_SOURCE)
     return (
-        (scene.fused is not None or scene.fused_mt is not None)
+        scene.fused is not None
         and (scene_mode or sls_mode)
         and not config.alpha_test
         and not config.enable_btf
@@ -638,42 +618,35 @@ def _render_samples_fused(
     env_vec = env_vec.at[9].set(1.0 - env.light_size)
 
     n_rays = sample_count * height * width
-    if scene.fused_mt is not None and not sls:
-        from raytracerfacility_tpu.ops.pallas_mt import render_pool_mt
+    from raytracerfacility_tpu.ops.pallas_seg import (
+        render_pool_sorted,
+        sorted_dispatch,
+    )
 
-        pool_fn, tables = render_pool_mt, scene.fused_mt
-        env_arg = flat_rgb
-        kwargs = {}
+    env_xla = (
+        config.lighting_type == EnvironmentalLightingType.SKYDOME
+        or (config.lighting_type == EnvironmentalLightingType.SCENE
+            and env.cubemap is not None)
+    )
+    if not sls and (env_xla
+                    or sorted_dispatch(scene.fused, incoherent=False)):
+        # segmented engine: either the environment needs the XLA miss
+        # hook (cubemap/Nishita — the fused kernel cannot shade them)
+        # or the scene is large enough that inter-segment compaction +
+        # coherence grouping buys back more culling than the reorder
+        pool_fn, tables = render_pool_sorted, scene.fused
+        env_arg = env_vec
+        kwargs = (
+            {"env_state": env,
+             "lighting_type": int(config.lighting_type),
+             "atmos_samples": config.atmosphere_samples,
+             "atmos_samples_light": config.atmosphere_samples_light}
+            if env_xla else {}
+        )
     else:
-        from raytracerfacility_tpu.ops.pallas_seg import (
-            render_pool_sorted,
-            sorted_dispatch,
-        )
-
-        env_xla = (
-            config.lighting_type == EnvironmentalLightingType.SKYDOME
-            or (config.lighting_type == EnvironmentalLightingType.SCENE
-                and env.cubemap is not None)
-        )
-        if not sls and (env_xla
-                        or sorted_dispatch(scene.fused, incoherent=False)):
-            # segmented engine: either the environment needs the XLA miss
-            # hook (cubemap/Nishita — the fused kernel cannot shade them)
-            # or the scene is large enough that inter-segment compaction +
-            # coherence grouping buys back more culling than the reorder
-            pool_fn, tables = render_pool_sorted, scene.fused
-            env_arg = env_vec
-            kwargs = (
-                {"env_state": env,
-                 "lighting_type": int(config.lighting_type),
-                 "atmos_samples": config.atmosphere_samples,
-                 "atmos_samples_light": config.atmosphere_samples_light}
-                if env_xla else {}
-            )
-        else:
-            pool_fn, tables = render_pool_fused, scene.fused
-            env_arg = env_vec
-            kwargs = {"lighting": 1 if sls else 0}
+        pool_fn, tables = render_pool_fused, scene.fused
+        env_arg = env_vec
+        kwargs = {"lighting": 1 if sls else 0}
     radiance, normal, albedo, position, rays = pool_fn(
         tables,
         origin.reshape(n_rays, 3),

@@ -10,7 +10,7 @@ full ray block (vector lanes).
 Why triangle-sequential rather than a per-lane BVH walk: Mosaic has no
 per-lane vector gather, so a per-ray walk must emulate gathers (one-hot
 MXU matmuls — measured ~50 us fixed cost per in-kernel matmul on the v5e,
-see ops/pallas_mt.py notes — or VMEM dynamic scalar loads at ~3x SMEM
+see the retired-experiments ledger in PERF.md — or VMEM dynamic scalar loads at ~3x SMEM
 cost). A *scalar* dynamic row index shared by every lane is natively
 supported: the triangle loop loads row j and broadcasts its nine scalars
 against the ray tile. Culling therefore happens at *tile* granularity,

@@ -761,15 +761,4 @@ def build_compiled_scene(
                 compiled = compiled.replace(
                     fused=fused_geom + (pack_material_table(compiled.materials),))
 
-            # MXU matmul-trace variant: opt-in only. Measured on the v5e:
-            # in-kernel dot_general carries a ~50 us fixed cost regardless
-            # of shape, which makes the per-chunk matmuls lose to the
-            # scalar-broadcast loop at every scene size tried.
-            if _os.environ.get("RTF_TPU_MT") == "1":
-                from raytracerfacility_tpu.ops import pallas_mt
-
-                if num_tris <= pallas_mt.MAX_TRIS:
-                    compiled = compiled.replace(
-                        fused_mt=pallas_mt.pack_mt_tables(compiled))
-
     return compiled

@@ -86,9 +86,6 @@ class CompiledScene:
     # path cannot specialize (curves, textures, BTF, subsurface, non-Default
     # materials)
     fused: object | None = None
-    # (A, shadeT, sub_aabbs, mat_table) for the MXU matmul-trace variant
-    # (ops/pallas_mt.py); same eligibility plus a triangle-count cap
-    fused_mt: object | None = None
 
     @property
     def num_instances(self) -> int:

@@ -20,14 +20,18 @@ ROWS = R // 128
 
 
 def tm(fn, *args, n=5):
-    out = fn(*args)
-    leaf = jax.tree.leaves(out)[0]
-    float(np.asarray(leaf).reshape(-1)[0])  # true fence
+    # fence on a DEPENDENT DEVICE SCALAR: np.asarray(leaf) (the original
+    # version of this fence) pulls the whole array through the tunnel
+    # (~10 s / 120 MB) and measures the transfer, not the compute —
+    # PERF.md "second fencing trap"
+    def fence(out):
+        leaf = jax.tree.leaves(out)[0]
+        return float(jnp.sum(leaf.reshape(-1)[:1]))
+
+    fence(fn(*args))
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
-        leaf = jax.tree.leaves(out)[0]
-        float(np.asarray(leaf).reshape(-1)[0])
+        fence(fn(*args))
     return (time.perf_counter() - t0) / n * 1e3
 
 

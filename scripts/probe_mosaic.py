@@ -4,7 +4,9 @@ Each probe is one tiny pallas kernel compiled + executed on the real chip
 in its own subprocess (a Mosaic HTTP 500 poisons the client that hit it —
 PERF.md). Results print PROBE <name> OK/FAIL <detail>.
 
-Probes (design: ops/pallas_row.py):
+Probes (written for the retired row-bundle engine — measured 0.58-0.73x
+of the scalar-broadcast engine and removed, see PERF.md — but the
+lowering facts remain the constraints every future kernel designs to):
   p1_dynrow    — unaligned (1,128) sublane slice load/store at a dynamic
                  row index on a VMEM window ref
   p2_valslice  — static (1,128) slice of a loaded (8,128) value +
