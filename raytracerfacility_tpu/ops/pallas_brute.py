@@ -374,12 +374,16 @@ def _make_kernel(any_hit: bool):
             run_kind = sub_ref[si, 6]
 
             def run_t(c):
-                return jax.lax.fori_loop(si * SUB, si * SUB + SUB,
-                                         tri_body, c, unroll=UNROLL)
+                # static 0..SUB bounds (offset inside): `unroll` requires
+                # statically known loop bounds
+                return jax.lax.fori_loop(
+                    0, SUB, lambda k, cc: tri_body(si * SUB + k, cc), c,
+                    unroll=UNROLL)
 
             def run_c(c):
-                return jax.lax.fori_loop(si * SUB, si * SUB + SUB,
-                                         curve_body, c, unroll=UNROLL)
+                return jax.lax.fori_loop(
+                    0, SUB, lambda k, cc: curve_body(si * SUB + k, cc), c,
+                    unroll=UNROLL)
 
             carry = jax.lax.cond(go & (run_kind < 0.5), run_t,
                                  lambda c: c, carry)

@@ -321,8 +321,11 @@ def _kernel(
                          subs[si, 3], subs[si, 4], subs[si, 5], carry[0])
 
             def run(b):
-                return jax.lax.fori_loop(si * SUB, si * SUB + SUB, tri_body, b,
-                                         unroll=UNROLL)
+                # static 0..SUB bounds with the run offset applied inside:
+                # `unroll` requires statically known loop bounds
+                return jax.lax.fori_loop(
+                    0, SUB, lambda k, bb: tri_body(si * SUB + k, bb), b,
+                    unroll=UNROLL)
 
             return jax.lax.cond(jnp.any(enter), run, lambda b: b, carry)
 
@@ -493,8 +496,9 @@ def _kernel(
                                     subs[si, 3], subs[si, 4], subs[si, 5], bt)
 
                 def run(b):
-                    return jax.lax.fori_loop(si * SUB, si * SUB + SUB,
-                                             tri_any, b, unroll=UNROLL)
+                    return jax.lax.fori_loop(
+                        0, SUB, lambda k, bb: tri_any(si * SUB + k, bb), b,
+                        unroll=UNROLL)
 
                 return jax.lax.cond(jnp.any(enter), run, lambda b: b, bt)
 
