@@ -83,8 +83,16 @@ SUB = int(os.environ.get("RTF_TPU_BRUTE_SUB", "32"))
 # peak at unroll 1 (bench.py roofline proxy) — unrolling overlaps the
 # per-row SMEM scalar loads with the previous row's vector math;
 # semantics (accept order, tie rule) are unchanged (lax.fori_loop unroll
-# is sequential)
-UNROLL = int(os.environ.get("RTF_TPU_UNROLL", "1"))
+# is sequential). 0 = auto: full unroll of the SUB run on the real chip
+# (Mosaic honors only full unroll; +24% measured in the fused kernel),
+# none in interpret mode (it just multiplies CPU trace time).
+UNROLL = int(os.environ.get("RTF_TPU_UNROLL", "0"))
+
+
+def _resolve_unroll(interpret: bool) -> int:
+    if UNROLL > 0:
+        return UNROLL
+    return 1 if interpret else SUB
 _LANES = 128
 _DET_EPS = 1e-12
 _DEAD = -3.0e38
@@ -188,7 +196,7 @@ def pack_tri_table(v0, e1, e2, kind=None):
     return table, sub_aabbs, chunk_aabbs
 
 
-def _make_kernel(any_hit: bool):
+def _make_kernel(any_hit: bool, unroll: int = 1):
     def _kernel(order_ref, skip_ref, tris_ref, sub_ref, chunk_ref,
                 ox, oy, oz, dx, dy, dz,
                 tmn, tmx, t_ref, prim_ref, u_ref, v_ref):
@@ -378,12 +386,12 @@ def _make_kernel(any_hit: bool):
                 # statically known loop bounds
                 return jax.lax.fori_loop(
                     0, SUB, lambda k, cc: tri_body(si * SUB + k, cc), c,
-                    unroll=UNROLL)
+                    unroll=unroll)
 
             def run_c(c):
                 return jax.lax.fori_loop(
                     0, SUB, lambda k, cc: curve_body(si * SUB + k, cc), c,
-                    unroll=UNROLL)
+                    unroll=unroll)
 
             carry = jax.lax.cond(go & (run_kind < 0.5), run_t,
                                  lambda c: c, carry)
@@ -413,8 +421,14 @@ def _make_kernel(any_hit: bool):
     return _kernel
 
 
-_kernel_closest = _make_kernel(any_hit=False)
-_kernel_any = _make_kernel(any_hit=True)
+_kernel_cache: dict = {}
+
+
+def _get_kernel(any_hit: bool, unroll: int):
+    key = (any_hit, unroll)
+    if key not in _kernel_cache:
+        _kernel_cache[key] = _make_kernel(any_hit=any_hit, unroll=unroll)
+    return _kernel_cache[key]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "any_hit"))
@@ -472,7 +486,7 @@ def _trace(tri_table, sub_aabbs, chunk_aabbs, origin, direction, tmin, tmax,
         out_specs=[ray_spec] * 4,
     )
     t, prim, u, v = pl.pallas_call(
-        _kernel_any if any_hit else _kernel_closest,
+        _get_kernel(any_hit, _resolve_unroll(interpret)),
         grid_spec=grid_spec,
         out_shape=(out_shape,) * 4,
         interpret=interpret,

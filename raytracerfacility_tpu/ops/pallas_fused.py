@@ -55,17 +55,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# ray tile = (BLOCK_ROWS, 128) lanes
-BLOCK_ROWS = int(os.environ.get("RTF_TPU_FUSED_ROWS", "64"))
+# ray tile = (BLOCK_ROWS, 128) lanes. 32 rows (4096-ray tiles) beat 64
+# on the real chip at 1080p (8.24 vs 7.08 Mrays/s): tighter per-tile
+# frusta cull more sub-runs than the extra grid steps cost; 16 and 128
+# both regress (6.8 / 5.7)
+BLOCK_ROWS = int(os.environ.get("RTF_TPU_FUSED_ROWS", "32"))
 # triangles per SMEM window (rows x 20 cols; SMEM is 1 MB at 32 B/scalar
 # with double-buffered windows, so 512x20 x2 buffers = ~655 KB is the fit)
 TRI_CHUNK = int(os.environ.get("RTF_TPU_FUSED_CHUNK", "512"))
 # triangles per cullable sub-chunk (Morton-ordered runs); TRI_CHUNK/SUB
 # must be a multiple of 8 (TPU block-shape rule for the sub-AABB window)
 SUB = int(os.environ.get("RTF_TPU_FUSED_SUB", "32"))
-# primitive-loop unroll: overlaps SMEM scalar loads with vector math
-# (see ops/pallas_brute.py UNROLL); sequential semantics are preserved
-UNROLL = int(os.environ.get("RTF_TPU_UNROLL", "1"))
+# primitive-loop unroll; 0 = auto (full unroll of the SUB run on the real
+# chip, none in interpret mode). Mosaic honors ONLY full unroll of a
+# statically-bounded fori_loop; full unroll measured +24% at 1080p
+# (9.48 vs 8.24 Mrays/s at ROWS=32) by overlapping SMEM scalar loads
+# with the previous row's vector math. Interpret mode (CPU tests) skips
+# it: unrolling just multiplies trace time there.
+UNROLL = int(os.environ.get("RTF_TPU_UNROLL", "0"))
+
+
+def resolve_unroll(interpret: bool, sub: int = None) -> int:
+    """Map the UNROLL env knob to a concrete fori_loop unroll factor."""
+    if UNROLL > 0:
+        return UNROLL
+    return 1 if interpret else (SUB if sub is None else sub)
 _LANES = 128
 _DET_EPS = 1e-12
 _TMAX = 1e20
@@ -188,6 +202,7 @@ def _kernel(
     num_mats: int,
     lighting: int,
     nchunks: int,
+    unroll: int,
 ):
     s = pl.program_id(1)
     c = pl.program_id(2)
@@ -325,7 +340,7 @@ def _kernel(
                 # `unroll` requires statically known loop bounds
                 return jax.lax.fori_loop(
                     0, SUB, lambda k, bb: tri_body(si * SUB + k, bb), b,
-                    unroll=UNROLL)
+                    unroll=unroll)
 
             return jax.lax.cond(jnp.any(enter), run, lambda b: b, carry)
 
@@ -498,7 +513,7 @@ def _kernel(
                 def run(b):
                     return jax.lax.fori_loop(
                         0, SUB, lambda k, bb: tri_any(si * SUB + k, bb), b,
-                        unroll=UNROLL)
+                        unroll=unroll)
 
                 return jax.lax.cond(jnp.any(enter), run, lambda b: b, bt)
 
@@ -797,7 +812,8 @@ def _render_pool(table, sub_aabbs, chunk_aabbs, mat_table, origin, direction,
 
     kernel = functools.partial(_kernel, bounces=bounces,
                                num_mats=int(mat_table.shape[0]),
-                               lighting=lighting, nchunks=nchunks)
+                               lighting=lighting, nchunks=nchunks,
+                               unroll=resolve_unroll(interpret))
     outs = pl.pallas_call(
         kernel,
         grid=grid,

@@ -65,7 +65,7 @@ from raytracerfacility_tpu.ops.pallas_fused import (
     _lcg,
     SUB,
     TRI_CHUNK,
-    UNROLL,
+    resolve_unroll,
 )
 
 # tile rows per kernel block: static per-call choice (see
@@ -108,6 +108,7 @@ def _kernel(
     num_mats: int,
     nchunks: int,
     block_rows: int,
+    unroll: int,
 ):
     (o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_rng, o_act,
      o_tr, o_tg, o_tb, o_rr, o_rg, o_rb) = refs[:14]
@@ -234,7 +235,7 @@ def _kernel(
                 # statically known loop bounds
                 return jax.lax.fori_loop(
                     0, SUB, lambda k, bb: tri_body(si * SUB + k, bb), b,
-                    unroll=UNROLL)
+                    unroll=unroll)
 
             return jax.lax.cond(jnp.any(enter), run, lambda b: b, carry)
 
@@ -445,7 +446,7 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
     kernel = functools.partial(
         _kernel, is_first=is_first, has_cont=has_cont, xla_env=xla_env,
         num_mats=int(mat_table.shape[0]), nchunks=nchunks,
-        block_rows=block_rows,
+        block_rows=block_rows, unroll=resolve_unroll(interpret),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
