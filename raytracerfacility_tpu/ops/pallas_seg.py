@@ -93,6 +93,13 @@ MORTON_BITS = int(os.environ.get("RTF_TPU_SEG_MBITS", "4"))
 # ms at 2M rays — see module docstring — so its cadence is a tunable
 # trade against the compaction/coherence win it buys)
 REORDER_EVERY = int(os.environ.get("RTF_TPU_SEG_EVERY", "1"))
+# sort-block granularity, in kernel tiles (0 = one global sort): rays
+# only need coherence WITHIN a tile, so sorting B independent blocks of
+# consecutive tiles (XLA batches row-wise sorts) preserves almost all
+# of the culling win while the sort itself gets much cheaper than a
+# single 2M-element argsort. Read at call time (render_pool_sorted) so
+# tests and sweeps can flip it per call.
+SORT_BLOCK_DEFAULT = "0"
 
 
 def _kernel(
@@ -512,13 +519,14 @@ def _morton_key(ox, oy, oz, dx, dy, dz, act, lo, inv_extent):
 @functools.partial(
     jax.jit,
     static_argnames=("bounces", "presort", "interpret", "lighting_type",
-                     "atmos_samples", "atmos_samples_light"))
+                     "atmos_samples", "atmos_samples_light", "sort_block"))
 def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         direction, rng, valid, env_vec, bounces: int,
                         presort: bool = False, interpret: bool = False,
                         env_state=None, lighting_type: int = 0,
                         atmos_samples: int = 16,
-                        atmos_samples_light: int = 8):
+                        atmos_samples_light: int = 8,
+                        sort_block: int = 0):
     r = origin.shape[0]
     block_rows = _pick_block_rows((r + _LANES - 1) // _LANES)
     block = block_rows * _LANES
@@ -557,11 +565,26 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
 
     orig_idx = jnp.arange(rp, dtype=jnp.int32).reshape(rows, _LANES)
 
+    # block-local sort: rays only need coherence within a tile, so when
+    # the pool spans many sort blocks, sort each block independently
+    # (a batched (nb, L) row sort is far cheaper than one global sort;
+    # any permutation is equally CORRECT — the best-hit record is
+    # visit-order independent and every ray keeps its own lane state)
+    block_rays = (sort_block * block_rows * _LANES
+                  if sort_block > 0 else 0)
+    nb = rp // block_rays if block_rays and rp % block_rays == 0 else 1
+
     def reorder(state, orig_idx):
         key = _morton_key(state[0], state[1], state[2],
                           state[3], state[4], state[5], state[7],
                           lo, inv_extent)
-        perm = jnp.argsort(key.reshape(rp), stable=True)
+        if nb > 1:
+            local = jnp.argsort(key.reshape(nb, rp // nb), axis=1,
+                                stable=True)
+            perm = (local + (jnp.arange(nb, dtype=jnp.int32)
+                             * (rp // nb))[:, None]).reshape(rp)
+        else:
+            perm = jnp.argsort(key.reshape(rp), stable=True)
         fstate = jnp.stack(
             [p.reshape(rp) for p in state[:6] + state[7:]], axis=-1)[perm]
         istate = jnp.stack(
@@ -693,6 +716,8 @@ def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
         interpret=bool(interpret), env_state=env_state,
         lighting_type=int(lighting_type), atmos_samples=int(atmos_samples),
         atmos_samples_light=int(atmos_samples_light),
+        sort_block=int(os.environ.get("RTF_TPU_SORT_BLOCK",
+                                      SORT_BLOCK_DEFAULT)),
     )
 
 

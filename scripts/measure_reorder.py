@@ -74,6 +74,40 @@ def main():
     print("lax.sort key + 13 payload planes:",
           tm(multisort, keys_u, *planes), "ms", flush=True)
 
+    perm = jax.jit(lambda k: jnp.argsort(k, stable=True))(keys_u)
+    perm = jax.block_until_ready(perm)
+
+    @jax.jit
+    def gather_only(p, *ps):
+        m = jnp.stack([x.reshape(R) for x in ps], axis=-1)[p]
+        return tuple(m[:, i].reshape(ROWS, 128) for i in range(len(ps)))
+
+    print("13-plane gather by precomputed perm:",
+          tm(gather_only, perm, *planes), "ms", flush=True)
+
+    # block-local sort: tiles only need coherence WITHIN a sort block,
+    # so sort B independent blocks (XLA batches row-wise sorts) instead
+    # of one global 2M-row sort
+    for nb in (8, 32, 128):
+        L = R // nb
+
+        @jax.jit
+        def block_reorder(k, *ps, nb=nb, L=L):
+            local = jnp.argsort(k.reshape(nb, L), axis=1, stable=True)
+            p = (local
+                 + (jnp.arange(nb, dtype=jnp.int32) * L)[:, None]).reshape(R)
+            m = jnp.stack([x.reshape(R) for x in ps], axis=-1)[p]
+            return tuple(m[:, i].reshape(ROWS, 128) for i in range(len(ps)))
+
+        @jax.jit
+        def block_argsort(k, nb=nb, L=L):
+            return jnp.argsort(k.reshape(nb, L), axis=1, stable=True)
+
+        print(f"block argsort nb={nb} (L={L}):",
+              tm(block_argsort, keys_u), "ms", flush=True)
+        print(f"block argsort+gather nb={nb}:",
+              tm(block_reorder, keys_u, *planes), "ms", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -22,6 +22,8 @@ VARMAP = {
     "SORTED": "RTF_TPU_SORTED",
     "SEG_EVERY": "RTF_TPU_SEG_EVERY",
     "SEG_ROWS": "RTF_TPU_SEG_ROWS",
+    "SORT_BLOCK": "RTF_TPU_SORT_BLOCK",
+    "SEG_MBITS": "RTF_TPU_SEG_MBITS",
 }
 
 

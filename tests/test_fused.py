@@ -131,6 +131,18 @@ def test_sorted_camera_bitexact_vs_fused(monkeypatch):
             np.asarray(getattr(frame_f, name)), err_msg=name)
     assert float(rays_s) == float(rays_f)
 
+    # block-local sort (independent per-block argsorts instead of one
+    # global sort) is a different permutation but must stay bit-exact
+    monkeypatch.setenv("RTF_TPU_SORTED", "1")
+    monkeypatch.setenv("RTF_TPU_SORT_BLOCK", "1")
+    frame_b, rays_b = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(48, 48))
+    for name in ("color", "normal", "albedo"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(frame_b, name)),
+            np.asarray(getattr(frame_f, name)), err_msg=f"block {name}")
+    assert float(rays_b) == float(rays_f)
+
 
 @pytest.mark.parametrize("env_kind", ["cubemap", "skydome"])
 def test_sorted_env_hook_matches_wavefront(monkeypatch, env_kind):
