@@ -575,26 +575,28 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
     nb = rp // block_rays if block_rays and rp % block_rays == 0 else 1
 
     def reorder(state, orig_idx):
+        # ONE multi-operand lax.sort carrying the whole ray state as
+        # payloads. Measured on-chip at 2M rays: argsort + stacked
+        # row-gather nets ~39 ms (the gather dominates at ~33 ms), while
+        # key+13-payload lax.sort nets ~9 ms — the sort network moves
+        # the payload rows in-place instead of a pathological XLA gather
+        # (scripts/measure_reorder.py, fenced per PERF.md rules)
         key = _morton_key(state[0], state[1], state[2],
                           state[3], state[4], state[5], state[7],
                           lo, inv_extent)
+        f32s = [p.reshape(rp) for p in state[:6] + state[7:]]
+        i32s = [state[6].reshape(rp), orig_idx.reshape(rp)]
+        ops = [key.reshape(rp)] + f32s + i32s
         if nb > 1:
-            local = jnp.argsort(key.reshape(nb, rp // nb), axis=1,
-                                stable=True)
-            perm = (local + (jnp.arange(nb, dtype=jnp.int32)
-                             * (rp // nb))[:, None]).reshape(rp)
-        else:
-            perm = jnp.argsort(key.reshape(rp), stable=True)
-        fstate = jnp.stack(
-            [p.reshape(rp) for p in state[:6] + state[7:]], axis=-1)[perm]
-        istate = jnp.stack(
-            [state[6].reshape(rp), orig_idx.reshape(rp)], axis=-1)[perm]
-        state = (
-            *(plane(fstate[:, i]) for i in range(6)),
-            plane(istate[:, 0]), plane(fstate[:, 6]),
-            *(plane(fstate[:, i]) for i in range(7, 13)),
-        )
-        return state, plane(istate[:, 1])
+            # block-local: lax.sort batches over leading dims for free
+            ops = [o.reshape(nb, rp // nb) for o in ops]
+        outs = jax.lax.sort(tuple(ops), num_keys=1)
+        p6 = [plane(o.reshape(rp)) for o in outs[1:7]]
+        act = plane(outs[7].reshape(rp))
+        rest = [plane(o.reshape(rp)) for o in outs[8:14]]
+        rng_p = plane(outs[14].reshape(rp))
+        state = (*p6, rng_p, act, *rest)
+        return state, plane(outs[15].reshape(rp))
 
     xla_env = env_state is not None
 
@@ -658,29 +660,27 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
         if xla_env:
             state, _, _ = add_env(state, prev, miss)
 
-    # scatter radiance (and, under presort, the AOVs) back to original
-    # ray order
+    # restore original ray order: sorting (orig_idx, payloads...) by the
+    # index IS the inverse permutation, and the multi-operand sort is
+    # ~4x cheaper than an XLA scatter at 2M rays (same finding as the
+    # reorder above)
     idx = orig_idx.reshape(rp)
-
-    def unperm(p):
-        return jnp.zeros((rp,), jnp.float32).at[idx].set(p.reshape(rp))
-
-    radiance = jnp.stack([unperm(state[11]), unperm(state[12]),
-                          unperm(state[13])], axis=-1)[:r]
+    _, rr, rg, rb = jax.lax.sort(
+        (idx, state[11].reshape(rp), state[12].reshape(rp),
+         state[13].reshape(rp)), num_keys=1)
+    radiance = jnp.stack([rr, rg, rb], axis=-1)[:r]
 
     if presort:
-        # AOVs were produced in the presorted order; idx still maps the
+        # AOVs were produced in the presorted order; idx maps the
         # CURRENT order back to original, but AOVs froze at segment 0's
-        # order — scatter through the segment-0 index map instead
+        # order — invert through the segment-0 index map instead
         aov_idx = aov_orig_idx.reshape(rp)
 
-        def unperm0(p):
-            return jnp.zeros((rp,), jnp.float32).at[aov_idx].set(
-                p.reshape(rp))
-
         def unplane3(a, b, c):
-            return jnp.stack([unperm0(a), unperm0(b), unperm0(c)],
-                             axis=-1)[:r]
+            _, ua, ub, uc = jax.lax.sort(
+                (aov_idx, a.reshape(rp), b.reshape(rp), c.reshape(rp)),
+                num_keys=1)
+            return jnp.stack([ua, ub, uc], axis=-1)[:r]
     else:
         def unplane3(a, b, c):
             return jnp.stack([a.reshape(rp)[:r], b.reshape(rp)[:r],
