@@ -629,7 +629,8 @@ def _render_samples_fused(
             and env.cubemap is not None)
     )
     if not sls and (env_xla
-                    or sorted_dispatch(scene.fused, incoherent=False)):
+                    or sorted_dispatch(scene.fused, incoherent=False,
+                                       rays=n_rays)):
         # segmented engine: either the environment needs the XLA miss
         # hook (cubemap/Nishita — the fused kernel cannot shade them)
         # or the scene is large enough that inter-segment compaction +

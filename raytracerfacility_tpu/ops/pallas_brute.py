@@ -75,7 +75,9 @@ BLOCK_ROWS = int(os.environ.get("RTF_TPU_BRUTE_ROWS", "64"))
 # triangles per grid step: the table rides in SMEM (scalar memory, ~1 MB,
 # 32 B per scalar), so it is windowed in chunks along a second grid axis
 # with best-hit accumulation in the revisited output block
-TRI_CHUNK = int(os.environ.get("RTF_TPU_BRUTE_CHUNK", "512"))
+# 256 matches the fused/segmented kernels' measured-better window size
+# (finer level-1 slab culling beats the extra grid steps, PERF.md r3)
+TRI_CHUNK = int(os.environ.get("RTF_TPU_BRUTE_CHUNK", "256"))
 # triangles per cullable sub-chunk: rows are Morton-ordered at pack time so
 # each run is spatially compact; TRI_CHUNK/SUB must be a multiple of 8
 SUB = int(os.environ.get("RTF_TPU_BRUTE_SUB", "32"))

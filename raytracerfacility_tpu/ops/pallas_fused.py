@@ -60,9 +60,11 @@ from jax.experimental.pallas import tpu as pltpu
 # frusta cull more sub-runs than the extra grid steps cost; 16 and 128
 # both regress (6.8 / 5.7)
 BLOCK_ROWS = int(os.environ.get("RTF_TPU_FUSED_ROWS", "32"))
-# triangles per SMEM window (rows x 20 cols; SMEM is 1 MB at 32 B/scalar
-# with double-buffered windows, so 512x20 x2 buffers = ~655 KB is the fit)
-TRI_CHUNK = int(os.environ.get("RTF_TPU_FUSED_CHUNK", "512"))
+# triangles per SMEM window (rows x 20 cols; 512x20 x2 double-buffered
+# windows = ~655 KB fits SMEM, but 256 measured FASTER on chip at 1080p
+# despite doubling grid steps: finer level-1 slab culls skip more whole
+# windows (fused 9.46 -> 9.85; with SUB=16 10.26; segmented 21.5)
+TRI_CHUNK = int(os.environ.get("RTF_TPU_FUSED_CHUNK", "256"))
 # triangles per cullable sub-chunk (Morton-ordered runs); TRI_CHUNK/SUB
 # must be a multiple of 8 (TPU block-shape rule for the sub-AABB window)
 SUB = int(os.environ.get("RTF_TPU_FUSED_SUB", "32"))

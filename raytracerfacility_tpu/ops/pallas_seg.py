@@ -721,16 +721,19 @@ def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
     )
 
 
-def sorted_dispatch(tables, incoherent: bool) -> bool:
+def sorted_dispatch(tables, incoherent: bool, rays: int = 0) -> bool:
     """Should this pool run the segmented+reordered engine instead of the
-    fused mega-kernel? RTF_TPU_SORTED=1/0 forces; unset -> auto: the
-    reorder costs tens of ms at 2M rays, so it must buy back more culling
-    than that — which it does when the scene is large (many chunk
-    windows) and especially when the pool is incoherent from segment 0
-    (probe pools: measured 5.3x coherent-vs-random gap on the 111k-tri
-    canopy, PERF.md)."""
+    fused mega-kernel? RTF_TPU_SORTED=1/0 forces; unset -> auto.
+
+    Segmented wins when the lax.sort reorder (~9 ms net at 2M rays,
+    PERF.md round 3) amortizes: big pools — 1080p camera pools measured
+    21.5 vs 9.5 Mrays/s fused — or scenes with many chunk windows,
+    especially incoherent probe pools (5.3x coherent-vs-random culling
+    gap on the 111k-tri canopy)."""
     flag = os.environ.get("RTF_TPU_SORTED")
     if flag is not None:
         return flag == "1"
+    if rays >= (1 << 19):
+        return True
     nchunks = tables[0].shape[0] // TRI_CHUNK
     return nchunks >= (8 if incoherent else 32)

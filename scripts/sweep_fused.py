@@ -31,13 +31,16 @@ def main() -> None:
     combos = sys.argv[1:] or ["UNROLL=1", "UNROLL=2", "UNROLL=4"]
     for combo in combos:
         env = dict(os.environ)
+        cmd = [sys.executable, "bench.py", "--single", "1920", "1080", "3"]
         for pair in combo.split(","):
             k, v = pair.split("=")
+            if k.strip() == "CFG":  # run a BASELINE config instead
+                cmd = [sys.executable, "bench.py", "--config", v.strip()]
+                continue
             env[VARMAP[k.strip()]] = v.strip()
         try:
             proc = subprocess.run(
-                [sys.executable, "bench.py", "--single", "1920", "1080", "3"],
-                cwd=REPO, env=env, capture_output=True, text=True,
+                cmd, cwd=REPO, env=env, capture_output=True, text=True,
                 timeout=1500,
             )
             out = proc.stdout.strip().splitlines()
