@@ -21,8 +21,17 @@ poisons the client that hit it).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# Persistent compile cache: the axon runtime's remote Mosaic compiles cost
+# 30-300 s per kernel variant, but the plugin ships a fingerprint-keyed
+# executable cache that activates when JAX's cache dir is set — measured
+# 35.2 s -> 1.47 s for a Pallas kernel across processes
+# (scripts/probe_cache.py). Benchmarks and their subprocesses inherit this.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_rtf")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 TARGET_MRAYS = 100.0
 # headline config first (BASELINE.md: 1080p 8-bounce), descending fallbacks
@@ -47,7 +56,7 @@ def run_once(width, height, frames):
     from raytracerfacility_tpu.models.pathtracer import (
         RenderConfig,
         init_frame,
-        render_frame_counted_jit,
+        render_frames_counted_jit,
     )
 
     scene, cam, env = _bench_scene(width, height)
@@ -61,23 +70,27 @@ def run_once(width, height, frames):
     frame = init_frame(width, height)
 
     # warmup: compile + one fenced execution
-    frame, rays = render_frame_counted_jit(
-        compiled, cam_state, env_state, config, frame
+    frame, rays = render_frames_counted_jit(
+        compiled, cam_state, env_state, config, frame, frames
     )
     _ = float(frame.color[0, 0, 0])
 
-    # fence each frame with the live-ray scalar: letting dependent frames
-    # queue unfenced through the tunneled runtime measured 169 ms/frame of
-    # dispatch pathology vs 46 ms fenced (same compute) — and real
-    # interactive use is fenced anyway (the renderer facade reads the
-    # frame back every call)
+    # all frames run as ONE dispatch (lax.scan over progressive frames,
+    # bit-identical to the per-frame loop — tests/test_progressive.py),
+    # fenced once by the live-ray scalar readback. This matches the
+    # reference's render loop, which never syncs to host between frames
+    # (accumulation feeds forward on-GPU and the frame blits to a GL
+    # texture, RayTracer.cu:2232-2256). Per-frame host fencing measured
+    # ~28 ms/frame of pure tunnel round-trip — 7% of a 1080p frame and
+    # >60% of a 256x256 one. (Queueing dependent per-frame DISPATCHES
+    # unfenced is still pathological on this runtime — 169 ms/frame,
+    # PERF.md round 2 — the scan avoids per-frame dispatch entirely.)
     t0 = time.perf_counter()
-    total_rays = 0.0
-    for _ in range(frames):
-        frame, rays = render_frame_counted_jit(
-            compiled, cam_state, env_state, config, frame
-        )
-        total_rays += float(rays)
+    frame, rays = render_frames_counted_jit(
+        compiled, cam_state, env_state, config, init_frame(width, height),
+        frames
+    )
+    total_rays = float(rays)
     dt = time.perf_counter() - t0
     ntris = int(compiled.geometry.v0.shape[0])
     pairs_per_s = total_rays / dt * ntris
@@ -101,24 +114,24 @@ def _run_single(width: int, height: int, frames: int) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _timed_frames(scene, cam, env, config, frames=3):
+def _timed_frames(scene, cam, env, config, frames=8):
     import jax
 
     from raytracerfacility_tpu.models.pathtracer import (
-        init_frame, render_frame_counted_jit)
+        init_frame, render_frames_counted_jit)
 
     compiled = scene.build()
     cam_state, env_state = cam.state(), env.state()
     frame = init_frame(config.width, config.height)
-    frame, rays = render_frame_counted_jit(
-        compiled, cam_state, env_state, config, frame)
+    frame, rays = render_frames_counted_jit(
+        compiled, cam_state, env_state, config, frame, frames)
     _ = float(frame.color[0, 0, 0])
+    # one scan dispatch for all frames, one fence (see run_once note)
     t0 = time.perf_counter()
-    total = 0.0
-    for _ in range(frames):
-        frame, rays = render_frame_counted_jit(
-            compiled, cam_state, env_state, config, frame)
-        total += float(rays)  # per-frame fence (see run_once note)
+    frame, rays = render_frames_counted_jit(
+        compiled, cam_state, env_state, config,
+        init_frame(config.width, config.height), frames)
+    total = float(rays)
     return total / (time.perf_counter() - t0) / 1e6
 
 
@@ -302,7 +315,7 @@ def main() -> None:
 
     quick = "--quick" in sys.argv
     resolutions = RESOLUTIONS[-1:] if quick else RESOLUTIONS
-    frames = 2
+    frames = 4  # one scan dispatch; ~1.5 s at 1080p, inside the watchdog
 
     value = 0.0
     pairs = 0.0

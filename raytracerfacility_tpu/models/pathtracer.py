@@ -874,5 +874,37 @@ def render_frame_counted(
     return out, rays
 
 
+def render_frames_counted(
+    scene: CompiledScene,
+    camera: CameraState,
+    env: EnvironmentState,
+    config: RenderConfig,
+    frame: FrameBuffers,
+    num_frames: int,
+) -> tuple[FrameBuffers, jax.Array]:
+    """``num_frames`` progressive frames in ONE compiled dispatch.
+
+    The reference's render loop never syncs to the host between frames —
+    the frame buffer blits straight to a GL texture on-GPU
+    (ref RayTracer.cu:2232-2256) and accumulation feeds forward on
+    device. This is the TPU equivalent: a ``lax.scan`` over progressive
+    frames with a single host fence at the end. Per-frame arithmetic is
+    identical to calling :func:`render_frame_counted` in a host loop
+    (the scan carry IS the frame state); what changes is dispatch/fence
+    count — measured ~28 ms of tunnel round-trip per frame on the
+    benchmark runtime, which dominates small frames (a 256x256 BTF
+    frame is ~16 ms of compute). Returns the final frame and the TOTAL
+    live-ray count across all frames."""
+
+    def body(f, _):
+        out, rays = render_frame_counted(scene, camera, env, config, f)
+        return out, rays
+
+    out, rays = jax.lax.scan(body, frame, None, length=num_frames)
+    return out, jnp.sum(rays)
+
+
 render_frame_jit = jax.jit(render_frame, static_argnames=("config",))
 render_frame_counted_jit = jax.jit(render_frame_counted, static_argnames=("config",))
+render_frames_counted_jit = jax.jit(
+    render_frames_counted, static_argnames=("config", "num_frames"))

@@ -135,9 +135,19 @@ class RayTracerCamera:
         env: EnvironmentProperties,
         ray: RayProperties | None = None,
         build_bvh: bool | None = None,
+        frames: int = 1,
     ) -> np.ndarray:
-        """Render one progressive frame; returns the gamma-encoded color
-        image as numpy (H, W, 4). Call repeatedly to accumulate."""
+        """Render ``frames`` progressive frames; returns the gamma-encoded
+        color image as numpy (H, W, 4). Call repeatedly to accumulate.
+
+        ``frames > 1`` accumulates that many progressive frames in ONE
+        device dispatch (a ``lax.scan``; bit-identical to ``frames``
+        separate calls) — the offline-convergence fast path. The
+        reference's loop equivalently stays on-GPU between frames
+        (accumulation feeds forward, the blit is GPU->GL;
+        ref RayTracer.cu:2232-2256); only the host round-trip count
+        differs, and on the benchmark runtime that round-trip is ~28 ms
+        per call."""
         ray = ray or RayProperties()
         scene_dirty = self.scene.dirty
         kwargs = {} if build_bvh is None else {"build_bvh": build_bvh}
@@ -174,9 +184,20 @@ class RayTracerCamera:
             enable_textures=self._has_textures(),
             enable_vertex_color=self._has_vertex_color(),
         )
-        self._frame = render_frame_jit(
-            compiled, self.camera.state(), env.state(), config, self._frame
-        )
+        if frames == 1:
+            self._frame = render_frame_jit(
+                compiled, self.camera.state(), env.state(), config,
+                self._frame
+            )
+        else:
+            from raytracerfacility_tpu.models.pathtracer import (
+                render_frames_counted_jit,
+            )
+
+            self._frame, _ = render_frames_counted_jit(
+                compiled, self.camera.state(), env.state(), config,
+                self._frame, frames
+            )
         # post-launch validation sweep (the CUDA_SYNC_CHECK slot,
         # ref RayTracer.cu:368; enable with RTF_VALIDATE=1)
         from raytracerfacility_tpu.utils.validation import check_finite

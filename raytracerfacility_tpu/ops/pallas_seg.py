@@ -580,23 +580,27 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
         # row-gather nets ~39 ms (the gather dominates at ~33 ms), while
         # key+13-payload lax.sort nets ~9 ms — the sort network moves
         # the payload rows in-place instead of a pathological XLA gather
-        # (scripts/measure_reorder.py, fenced per PERF.md rules)
+        # (scripts/measure_reorder.py, fenced per PERF.md rules).
+        # The act plane does NOT ride as a payload: dead rays are exactly
+        # the INT32_MAX keys (live keys fit in 16 bits), so act is
+        # recomputed from the sorted key — one less 8 MB plane to move.
         key = _morton_key(state[0], state[1], state[2],
                           state[3], state[4], state[5], state[7],
                           lo, inv_extent)
-        f32s = [p.reshape(rp) for p in state[:6] + state[7:]]
+        f32s = [p.reshape(rp) for p in state[:6] + state[8:]]
         i32s = [state[6].reshape(rp), orig_idx.reshape(rp)]
         ops = [key.reshape(rp)] + f32s + i32s
         if nb > 1:
             # block-local: lax.sort batches over leading dims for free
             ops = [o.reshape(nb, rp // nb) for o in ops]
         outs = jax.lax.sort(tuple(ops), num_keys=1)
+        key_s = outs[0].reshape(rp)
+        act = plane((key_s != jnp.int32(2147483647)).astype(jnp.float32))
         p6 = [plane(o.reshape(rp)) for o in outs[1:7]]
-        act = plane(outs[7].reshape(rp))
-        rest = [plane(o.reshape(rp)) for o in outs[8:14]]
-        rng_p = plane(outs[14].reshape(rp))
+        rest = [plane(o.reshape(rp)) for o in outs[7:13]]
+        rng_p = plane(outs[13].reshape(rp))
         state = (*p6, rng_p, act, *rest)
-        return state, plane(outs[15].reshape(rp))
+        return state, plane(outs[14].reshape(rp))
 
     xla_env = env_state is not None
 

@@ -40,12 +40,17 @@ def main():
     import os
     os.environ["RTF_TPU_SORTED"] = "1"
 
-    def whole(frame):
-        f, rays = render_frame_counted_jit(compiled, cam_state, env_state,
-                                           config, frame)
-        return f.color
+    # fence round-trip at this pool shape, for net-of-fence readings
+    base = jnp.zeros((4,), jnp.float32)
+    print("fence overhead:", tm(lambda x: x + 1.0, base), "ms", flush=True)
 
-    print("frame (segmented):", tm(whole, frame), "ms", flush=True)
+    if os.environ.get("RTF_PROBE_SKIP_FRAME") != "1":
+        def whole(frame):
+            f, rays = render_frame_counted_jit(compiled, cam_state,
+                                               env_state, config, frame)
+            return f.color
+
+        print("frame (segmented):", tm(whole, frame), "ms", flush=True)
 
     # per-segment live counts, one real render
     tables = compiled.fused
@@ -56,7 +61,8 @@ def main():
     r = 1920 * 1080
     rows = (r + 127) // 128
     block_rows = seg._pick_block_rows(rows)
-    print("block_rows:", block_rows, flush=True)
+    rows += (-rows) % block_rows  # engine pads pools to a tile multiple
+    print("block_rows:", block_rows, "rows:", rows, flush=True)
 
     key = jax.random.PRNGKey(0)
     zero = jnp.zeros((rows, 128), jnp.float32)
