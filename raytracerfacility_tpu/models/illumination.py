@@ -177,8 +177,11 @@ def estimate_illumination(
             sorted_dispatch,
         )
 
+        chunk = scene.fused_chunk or None
         if not sls and (env_xla
-                        or sorted_dispatch(scene.fused, incoherent=True)):
+                        or sorted_dispatch(
+                            scene.fused, incoherent=True,
+                            **({"chunk": chunk} if chunk else {}))):
             # probe rays are incoherent from segment 0 (uniform hemisphere
             # directions off scattered triangles): the segmented engine
             # presorts them by (origin cell, octant) so the trace kernel's
@@ -198,6 +201,7 @@ def estimate_illumination(
                 lighting_type=int(config.lighting_type),
                 atmos_samples=config.atmosphere_samples,
                 atmos_samples_light=config.atmosphere_samples_light,
+                **({"chunk": chunk} if chunk else {}),
             )
         else:
             radiance, _, _, _, _ = render_pool_fused(
@@ -209,6 +213,7 @@ def estimate_illumination(
                 env_vec,
                 bounces=config.bounces,
                 lighting=1 if sls else 0,
+                **({"chunk": chunk} if chunk else {}),
             )
         path_radiance = radiance.reshape(p, 2, s, 3)
     else:
@@ -246,6 +251,11 @@ estimate_illumination_jit = jax.jit(
     estimate_illumination,
     static_argnames=("config", "push_normal_distance"),
 )
+
+# one fused device reduction (eager per-op dispatch is ~1.5 ms on the
+# benchmark runtime, and Heron's formula alone is ~8 ops)
+_total_flux_jit = jax.jit(
+    lambda probes: jnp.sum(probes.energy * probes.areas()[:, None], axis=0))
 
 
 @dataclasses.dataclass
@@ -341,9 +351,12 @@ class TriangleIlluminationEstimator:
 
         check_finite("EstimateIllumination", energy=self.probes.energy,
                      direction=self.probes.direction)
-        areas = np.asarray(self.probes.areas())
-        energy = np.asarray(self.probes.energy)
-        self.total_flux = (energy * areas[:, None]).sum(axis=0)
+        # flux aggregation ON DEVICE (ref sums per-probe flux host-side,
+        # TriangleIlluminationEstimator.cpp:84-92, where the buffer is
+        # already local): pulling the (P,3) energy + (P,) area buffers
+        # through the tunneled runtime cost ~150 ms of a 740 ms canopy
+        # estimate; the reduced (3,) flux is a 12-byte transfer
+        self.total_flux = np.asarray(_total_flux_jit(self.probes))
         self.average_flux = (
             self.total_flux / self.total_area if self.total_area > 0 else
             np.zeros(3, np.float32)

@@ -628,9 +628,11 @@ def _render_samples_fused(
         or (config.lighting_type == EnvironmentalLightingType.SCENE
             and env.cubemap is not None)
     )
+    chunk = scene.fused_chunk or None
     if not sls and (env_xla
                     or sorted_dispatch(scene.fused, incoherent=False,
-                                       rays=n_rays)):
+                                       rays=n_rays,
+                                       **({"chunk": chunk} if chunk else {}))):
         # segmented engine: either the environment needs the XLA miss
         # hook (cubemap/Nishita — the fused kernel cannot shade them)
         # or the scene is large enough that inter-segment compaction +
@@ -648,6 +650,8 @@ def _render_samples_fused(
         pool_fn, tables = render_pool_fused, scene.fused
         env_arg = env_vec
         kwargs = {"lighting": 1 if sls else 0}
+    if chunk:
+        kwargs["chunk"] = chunk
     radiance, normal, albedo, position, rays = pool_fn(
         tables,
         origin.reshape(n_rays, 3),

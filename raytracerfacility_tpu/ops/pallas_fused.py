@@ -61,13 +61,26 @@ from jax.experimental.pallas import tpu as pltpu
 # both regress (6.8 / 5.7)
 BLOCK_ROWS = int(os.environ.get("RTF_TPU_FUSED_ROWS", "32"))
 # triangles per SMEM window (rows x 20 cols; 512x20 x2 double-buffered
-# windows = ~655 KB fits SMEM, but 256 measured FASTER on chip at 1080p
-# despite doubling grid steps: finer level-1 slab culls skip more whole
-# windows (fused 9.46 -> 9.85; with SUB=16 10.26; segmented 21.5)
-TRI_CHUNK = int(os.environ.get("RTF_TPU_FUSED_CHUNK", "256"))
+# windows = ~655 KB fits SMEM). PER-SCENE (round 3): small scenes want
+# 256 (finer level-1 slab culls: fused 9.46 -> 9.85 at 1080p/2.7k tris),
+# big scenes want 512 (the 111k-tri canopy estimate measured 1.14 s at
+# 512 vs ~1.5 s at 256 — at 440 windows the per-step floor dominates).
+# RTF_TPU_FUSED_CHUNK forces one size for every scene (sweeps).
+_CHUNK_ENV = os.environ.get("RTF_TPU_FUSED_CHUNK")
+TRI_CHUNK = int(_CHUNK_ENV or "256")  # legacy default for direct callers
+
+
+def auto_chunk(num_tris: int) -> int:
+    """Per-scene SMEM window size (env override wins)."""
+    if _CHUNK_ENV is not None:
+        return int(_CHUNK_ENV)
+    return 512 if num_tris >= 65536 else 256
 # triangles per cullable sub-chunk (Morton-ordered runs); TRI_CHUNK/SUB
-# must be a multiple of 8 (TPU block-shape rule for the sub-AABB window)
-SUB = int(os.environ.get("RTF_TPU_FUSED_SUB", "32"))
+# must be a multiple of 8 (TPU block-shape rule for the sub-AABB window).
+# 16 measured best once the segmented engine's windowed reorder landed
+# (29.8 vs 24.9 Mrays/s at 1080p with SEG_ROWS=32); 32 was the round-2
+# best, 64 regresses.
+SUB = int(os.environ.get("RTF_TPU_FUSED_SUB", "16"))
 # primitive-loop unroll; 0 = auto (full unroll of the SUB run on the real
 # chip, none in interpret mode). Mosaic honors ONLY full unroll of a
 # statically-bounded fori_loop; full unroll measured +24% at 1080p
@@ -99,18 +112,25 @@ _LCG_C = 1013904223
 _TWO_PI = 6.2831853071795864769
 
 
-def pack_fused_tables(compiled):
-    """Build the (N, 20) SMEM trace+shade table, the (N/SUB, 8) sub-run
+def pack_fused_tables(compiled, chunk: int | None = None,
+                      sub: int | None = None):
+    """Build the (N, 20) SMEM trace+shade table, the (N/sub, 8) sub-run
     AABBs, the per-chunk AABBs and the (M, 8) material constant table
-    from a CompiledScene. Morton-orders triangles so SUB-sized runs are
-    spatially compact; pads to a TRI_CHUNK multiple with degenerate
-    triangles under inverted AABBs.
-    Returns (table, sub_aabbs, chunk_aabbs, mat_table)."""
+    from a CompiledScene. Morton-orders triangles so sub-sized runs are
+    spatially compact; pads to a ``chunk`` multiple with degenerate
+    triangles under inverted AABBs. ``chunk`` defaults per-scene
+    (:func:`auto_chunk`); ``sub`` to the SUB env default.
+    Returns (table, sub_aabbs, chunk_aabbs, mat_table). The chunk size is
+    NOT recoverable from the returned shapes (chunk_aabbs is padded) —
+    callers persist it (CompiledScene.fused_chunk) and pass it back into
+    the render entry points."""
     from raytracerfacility_tpu.ops.bvh import morton_codes
 
     g = compiled.geometry
     v0, e1, e2 = g.v0, g.e1, g.e2
     n = v0.shape[0]
+    chunk = auto_chunk(n) if chunk is None else int(chunk)
+    sub = SUB if sub is None else int(sub)
     centroid = v0 + (e1 + e2) / 3.0
     lo = jnp.min(jnp.minimum(v0, jnp.minimum(v0 + e1, v0 + e2)), axis=0)
     hi = jnp.max(jnp.maximum(v0, jnp.maximum(v0 + e1, v0 + e2)), axis=0)
@@ -119,7 +139,7 @@ def pack_fused_tables(compiled):
     normals = g.normal[order]  # (N, 3 corners, 3)
     mat = compiled.instance_material[g.instance[order]]
 
-    pad = (-n) % TRI_CHUNK
+    pad = (-n) % chunk
     table = jnp.zeros((n + pad, _COLS), jnp.float32)
     table = table.at[:n, 0:3].set(v0)
     table = table.at[:n, 3:6].set(e1)
@@ -136,17 +156,17 @@ def pack_fused_tables(compiled):
     pmax = jnp.maximum(v0, jnp.maximum(v0 + e1, v0 + e2))
     pmin = jnp.concatenate([pmin, jnp.full((pad, 3), big, jnp.float32)], axis=0)
     pmax = jnp.concatenate([pmax, jnp.full((pad, 3), -big, jnp.float32)], axis=0)
-    subs = (n + pad) // SUB
+    subs = (n + pad) // sub
     sub_aabbs = jnp.zeros((subs, 8), jnp.float32)
-    sub_aabbs = sub_aabbs.at[:, 0:3].set(jnp.min(pmin.reshape(subs, SUB, 3), axis=1))
-    sub_aabbs = sub_aabbs.at[:, 3:6].set(jnp.max(pmax.reshape(subs, SUB, 3), axis=1))
-    nchunks = (n + pad) // TRI_CHUNK
+    sub_aabbs = sub_aabbs.at[:, 0:3].set(jnp.min(pmin.reshape(subs, sub, 3), axis=1))
+    sub_aabbs = sub_aabbs.at[:, 3:6].set(jnp.max(pmax.reshape(subs, sub, 3), axis=1))
+    nchunks = (n + pad) // chunk
     chunk_aabbs = jnp.zeros((max(nchunks, 8), 8), jnp.float32)
     chunk_aabbs = chunk_aabbs.at[:, 0:3].set(3.4e38).at[:, 3:6].set(-3.4e38)
     chunk_aabbs = chunk_aabbs.at[:nchunks, 0:3].set(
-        jnp.min(pmin.reshape(nchunks, TRI_CHUNK, 3), axis=1))
+        jnp.min(pmin.reshape(nchunks, chunk, 3), axis=1))
     chunk_aabbs = chunk_aabbs.at[:nchunks, 3:6].set(
-        jnp.max(pmax.reshape(nchunks, TRI_CHUNK, 3), axis=1))
+        jnp.max(pmax.reshape(nchunks, chunk, 3), axis=1))
     cpad = (-chunk_aabbs.shape[0]) % 8
     if cpad:
         fill = jnp.zeros((cpad, 8), jnp.float32)
@@ -205,6 +225,8 @@ def _kernel(
     lighting: int,
     nchunks: int,
     unroll: int,
+    chunk: int,
+    sub: int,
 ):
     s = pl.program_id(1)
     c = pl.program_id(2)
@@ -338,10 +360,10 @@ def _kernel(
                          subs[si, 3], subs[si, 4], subs[si, 5], carry[0])
 
             def run(b):
-                # static 0..SUB bounds with the run offset applied inside:
+                # static 0..sub bounds with the run offset applied inside:
                 # `unroll` requires statically known loop bounds
                 return jax.lax.fori_loop(
-                    0, SUB, lambda k, bb: tri_body(si * SUB + k, bb), b,
+                    0, sub, lambda k, bb: tri_body(si * sub + k, bb), b,
                     unroll=unroll)
 
             return jax.lax.cond(jnp.any(enter), run, lambda b: b, carry)
@@ -355,7 +377,7 @@ def _kernel(
                        carry[0])
 
         def run_chunk(b):
-            return jax.lax.fori_loop(0, TRI_CHUNK // SUB, sub_body, b)
+            return jax.lax.fori_loop(0, chunk // sub, sub_body, b)
 
         carry = jax.lax.cond(jnp.any(entered), run_chunk, lambda b: b, carry)
         b_t[...] = carry[0]
@@ -514,7 +536,7 @@ def _kernel(
 
                 def run(b):
                     return jax.lax.fori_loop(
-                        0, SUB, lambda k, bb: tri_any(si * SUB + k, bb), b,
+                        0, sub, lambda k, bb: tri_any(si * sub + k, bb), b,
                         unroll=unroll)
 
                 return jax.lax.cond(jnp.any(enter), run, lambda b: b, bt)
@@ -528,7 +550,7 @@ def _kernel(
                 b_oc[...])
 
             def run_shadow(b):
-                return jax.lax.fori_loop(0, TRI_CHUNK // SUB, sub_any, b)
+                return jax.lax.fori_loop(0, chunk // sub, sub_any, b)
 
             b_oc[...] = jax.lax.cond(jnp.any(entered), run_shadow,
                                      lambda b: b, b_oc[...])
@@ -747,11 +769,11 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bounces", "lighting", "interpret")
+    jax.jit, static_argnames=("bounces", "lighting", "interpret", "chunk")
 )
 def _render_pool(table, sub_aabbs, chunk_aabbs, mat_table, origin, direction,
                  rng, valid, env_rgb, bounces: int, lighting: int = 0,
-                 interpret: bool = False):
+                 interpret: bool = False, chunk: int = TRI_CHUNK):
     """Run the mega-kernel over a flat ray pool.
 
     origin/direction (R,3) f32, rng (R,) uint32, valid (R,) f32 in {0,1};
@@ -785,16 +807,18 @@ def _render_pool(table, sub_aabbs, chunk_aabbs, mat_table, origin, direction,
     )
 
     nseg = 1 if lighting == 1 else bounces + 1
-    nchunks = table.shape[0] // TRI_CHUNK
+    nchunks = table.shape[0] // chunk
+    # sub-run size is exactly recoverable from the packed shapes
+    sub = table.shape[0] // sub_aabbs.shape[0]
     phases = 2 if lighting == 1 else 1
     grid = (tiles, nseg, phases * nchunks)
 
     ray_spec = pl.BlockSpec((BLOCK_ROWS, _LANES), lambda i, s, c: (i, 0))
     # scene windows revisit per phase: window index wraps at nchunks
-    tri_spec = pl.BlockSpec((TRI_CHUNK, _COLS),
+    tri_spec = pl.BlockSpec((chunk, _COLS),
                             lambda i, s, c: (c % nchunks, 0),
                             memory_space=pltpu.SMEM)
-    sub_spec = pl.BlockSpec((TRI_CHUNK // SUB, 8),
+    sub_spec = pl.BlockSpec((chunk // sub, 8),
                             lambda i, s, c: (c % nchunks, 0),
                             memory_space=pltpu.SMEM)
     chunk_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -815,7 +839,8 @@ def _render_pool(table, sub_aabbs, chunk_aabbs, mat_table, origin, direction,
     kernel = functools.partial(_kernel, bounces=bounces,
                                num_mats=int(mat_table.shape[0]),
                                lighting=lighting, nchunks=nchunks,
-                               unroll=resolve_unroll(interpret))
+                               unroll=resolve_unroll(interpret, sub),
+                               chunk=chunk, sub=sub)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -844,6 +869,7 @@ def _render_pool(table, sub_aabbs, chunk_aabbs, mat_table, origin, direction,
 def render_pool_fused(
     tables, origin, direction, rng, valid, env_rgb, bounces: int,
     lighting: int = 0, interpret: bool | None = None,
+    chunk: int = TRI_CHUNK,
 ):
     """Public entry: ``tables`` from :func:`pack_fused_tables`.
 
@@ -859,5 +885,5 @@ def render_pool_fused(
     return _render_pool(
         table, sub_aabbs, chunk_aabbs, mat_table, origin, direction, rng,
         valid, env_vec, bounces=bounces, lighting=int(lighting),
-        interpret=bool(interpret),
+        interpret=bool(interpret), chunk=int(chunk),
     )

@@ -69,10 +69,12 @@ from raytracerfacility_tpu.ops.pallas_fused import (
 )
 
 # tile rows per kernel block: static per-call choice (see
-# _pick_block_rows) — big pools want 64 (8192-ray tiles amortize grid
-# steps), small incoherent pools want 16 (2048-ray tiles keep the
-# per-tile frustum tight: canopy probe pools measured 1.135 s at 16 vs
-# 1.342 s at 64 and 1.537 s at 8, where grid-step overhead wins)
+# _pick_block_rows) — big pools want 32 (4096-ray tiles: tighter
+# per-tile frusta beat 64's grid-step amortization once the windowed
+# reorder landed — 29.8 vs 28.9 Mrays/s at 1080p/SUB=16), small
+# incoherent pools want 16 (2048-ray tiles: canopy probe pools measured
+# 1.135 s at 16 vs 1.342 s at 64 and 1.537 s at 8, where grid-step
+# overhead wins)
 BLOCK_ROWS_ENV = os.environ.get("RTF_TPU_SEG_ROWS")
 _LANES = 128
 
@@ -80,7 +82,7 @@ _LANES = 128
 def _pick_block_rows(rows: int) -> int:
     if BLOCK_ROWS_ENV is not None:
         return int(BLOCK_ROWS_ENV)
-    return 64 if rows >= 8192 else 16
+    return 32 if rows >= 8192 else 16
 # origin-cell bits per axis for the reorder key (4 -> 4096 cells).
 # The key is OCTANT-MAJOR: a sorted tile then holds rays of ONE
 # direction octant whose origins form a morton-contiguous (compact)
@@ -116,6 +118,8 @@ def _kernel(
     nchunks: int,
     block_rows: int,
     unroll: int,
+    chunk: int,
+    sub: int,
 ):
     (o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_rng, o_act,
      o_tr, o_tg, o_tb, o_rr, o_rg, o_rb) = refs[:14]
@@ -238,10 +242,10 @@ def _kernel(
                          subs[si, 3], subs[si, 4], subs[si, 5], carry[0])
 
             def run(b):
-                # static 0..SUB bounds (offset inside): `unroll` requires
+                # static 0..sub bounds (offset inside): `unroll` requires
                 # statically known loop bounds
                 return jax.lax.fori_loop(
-                    0, SUB, lambda k, bb: tri_body(si * SUB + k, bb), b,
+                    0, sub, lambda k, bb: tri_body(si * sub + k, bb), b,
                     unroll=unroll)
 
             return jax.lax.cond(jnp.any(enter), run, lambda b: b, carry)
@@ -253,7 +257,7 @@ def _kernel(
                        carry[0])
 
         def run_chunk(b):
-            return jax.lax.fori_loop(0, TRI_CHUNK // SUB, sub_body, b)
+            return jax.lax.fori_loop(0, chunk // sub, sub_body, b)
 
         carry = jax.lax.cond(jnp.any(entered), run_chunk, lambda b: b, carry)
         b_t[...] = carry[0]
@@ -401,12 +405,12 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("is_first", "has_cont", "xla_env", "rows",
-                     "block_rows", "interpret"),
+                     "block_rows", "interpret", "chunk"),
 )
 def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
                   skip, state, is_first: bool, has_cont: bool, rows: int,
                   interpret: bool, xla_env: bool = False,
-                  block_rows: int = 64):
+                  block_rows: int = 64, chunk: int = TRI_CHUNK):
     """One trace+shade segment over planar state ((rows, 128) planes).
 
     ``state`` = (ox, oy, oz, dx, dy, dz, rng(i32), act, tr, tg, tb,
@@ -421,16 +425,17 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
     hit_count == s (remote Mosaic compiles cost 30-300 s each; a
     per-segment-index specialization would pay that 9x per config)."""
     tiles = rows // block_rows
-    nchunks = table.shape[0] // TRI_CHUNK
+    nchunks = table.shape[0] // chunk
+    sub = table.shape[0] // sub_aabbs.shape[0]
     grid = (tiles, nchunks)
 
     ray_spec = pl.BlockSpec((block_rows, _LANES), lambda i, c, o, s: (i, 0))
     # culled steps repeat the previous step's window index, so their
     # HBM->SMEM window DMA is elided (Pallas only refetches on change)
-    tri_spec = pl.BlockSpec((TRI_CHUNK, _COLS),
+    tri_spec = pl.BlockSpec((chunk, _COLS),
                             lambda i, c, o, s: (o[i, c], 0),
                             memory_space=pltpu.SMEM)
-    sub_spec = pl.BlockSpec((TRI_CHUNK // SUB, 8),
+    sub_spec = pl.BlockSpec((chunk // sub, 8),
                             lambda i, c, o, s: (o[i, c], 0),
                             memory_space=pltpu.SMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -453,7 +458,8 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
     kernel = functools.partial(
         _kernel, is_first=is_first, has_cont=has_cont, xla_env=xla_env,
         num_mats=int(mat_table.shape[0]), nchunks=nchunks,
-        block_rows=block_rows, unroll=resolve_unroll(interpret),
+        block_rows=block_rows, unroll=resolve_unroll(interpret, sub),
+        chunk=chunk, sub=sub,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -519,14 +525,15 @@ def _morton_key(ox, oy, oz, dx, dy, dz, act, lo, inv_extent):
 @functools.partial(
     jax.jit,
     static_argnames=("bounces", "presort", "interpret", "lighting_type",
-                     "atmos_samples", "atmos_samples_light", "sort_block"))
+                     "atmos_samples", "atmos_samples_light", "sort_block",
+                     "chunk"))
 def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         direction, rng, valid, env_vec, bounces: int,
                         presort: bool = False, interpret: bool = False,
                         env_state=None, lighting_type: int = 0,
                         atmos_samples: int = 16,
                         atmos_samples_light: int = 8,
-                        sort_block: int = 0):
+                        sort_block: int = 0, chunk: int = TRI_CHUNK):
     r = origin.shape[0]
     block_rows = _pick_block_rows((r + _LANES - 1) // _LANES)
     block = block_rows * _LANES
@@ -574,26 +581,65 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                   if sort_block > 0 else 0)
     nb = rp // block_rays if block_rays and rp % block_rays == 0 else 1
 
-    def reorder(state, orig_idx):
+    def reorder(state, orig_idx, prev_live=None):
         # ONE multi-operand lax.sort carrying the whole ray state as
         # payloads. Measured on-chip at 2M rays: argsort + stacked
         # row-gather nets ~39 ms (the gather dominates at ~33 ms), while
-        # key+13-payload lax.sort nets ~9 ms — the sort network moves
-        # the payload rows in-place instead of a pathological XLA gather
-        # (scripts/measure_reorder.py, fenced per PERF.md rules).
+        # the key+payloads lax.sort nets ~12-14 ms — the sort network
+        # moves the payload rows in-place instead of a pathological XLA
+        # gather (scripts/profile_seg_frame.py, fenced per PERF.md rules;
+        # an earlier ~2 ms reading came from a probe that consumed only
+        # one sort output, letting XLA drop the other payload columns).
         # The act plane does NOT ride as a payload: dead rays are exactly
         # the INT32_MAX keys (live keys fit in 16 bits), so act is
         # recomputed from the sorted key — one less 8 MB plane to move.
+        #
+        # LIVENESS-BUCKETED SORT WINDOW: after a sort, live rays occupy a
+        # prefix whose length is that sort's live count; deaths only
+        # punch holes in it. So the next reorder needs to sort only the
+        # smallest static bucket (full/half/quarter/eighth of the pool)
+        # that covers the PREVIOUS segment's entering-live count — a
+        # lax.cond picks the bucket on device, the dead tail passes
+        # through untouched. Bit-identical to the full sort: lax.sort is
+        # stable, so live rays land in the same order either way, and
+        # dead-lane placement never affects any ray's arithmetic (the
+        # final unsort restores original order exactly). At 8 bounces
+        # the reorder was 101 ms of a 360 ms frame, with segments 4+
+        # paying more for the sort than the trace it enables.
         key = _morton_key(state[0], state[1], state[2],
                           state[3], state[4], state[5], state[7],
                           lo, inv_extent)
         f32s = [p.reshape(rp) for p in state[:6] + state[8:]]
         i32s = [state[6].reshape(rp), orig_idx.reshape(rp)]
         ops = [key.reshape(rp)] + f32s + i32s
+
+        def sort_window(w):
+            def f(o):
+                sub = o if w == rp else tuple(x[:w] for x in o)
+                outs = jax.lax.sort(sub, num_keys=1)
+                if w == rp:
+                    return outs
+                return tuple(jnp.concatenate([s, full[w:]])
+                             for s, full in zip(outs, o))
+            return f
+
         if nb > 1:
             # block-local: lax.sort batches over leading dims for free
-            ops = [o.reshape(nb, rp // nb) for o in ops]
-        outs = jax.lax.sort(tuple(ops), num_keys=1)
+            bops = tuple(o.reshape(nb, rp // nb) for o in ops)
+            outs = jax.lax.sort(bops, num_keys=1)
+            outs = tuple(o.reshape(rp) for o in outs)
+        elif prev_live is None or rp < 8 * block:
+            outs = sort_window(rp)(tuple(ops))
+        else:
+            outs = jax.lax.cond(
+                prev_live <= float(rp // 8), sort_window(rp // 8),
+                lambda o: jax.lax.cond(
+                    prev_live <= float(rp // 4), sort_window(rp // 4),
+                    lambda o2: jax.lax.cond(
+                        prev_live <= float(rp // 2), sort_window(rp // 2),
+                        sort_window(rp), o2),
+                    o),
+                tuple(ops))
         key_s = outs[0].reshape(rp)
         act = plane((key_s != jnp.int32(2147483647)).astype(jnp.float32))
         p6 = [plane(o.reshape(rp)) for o in outs[1:7]]
@@ -639,7 +685,8 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
     state, aovs, live0, miss = _segment_call(
         table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order, skip,
         state, is_first=True, has_cont=bounces >= 1, rows=rows,
-        interpret=interpret, xla_env=xla_env, block_rows=block_rows)
+        interpret=interpret, xla_env=xla_env, block_rows=block_rows,
+        chunk=chunk)
     total_live = live0
     if xla_env:
         state, light, m = add_env(state, prev, miss)
@@ -651,16 +698,29 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                                           aovs[3 + i].reshape(rp)))
         aovs = tuple(aovs)
 
+    # live extent of the current compacted prefix: all live rays sit in
+    # the first `prefix_live` rows. Established by each sort (= the live
+    # count entering the segment right after it); deaths between sorts
+    # only punch holes, never extend it. Before ANY sort the prefix
+    # property is not guaranteed (callers may pass an arbitrary `valid`
+    # mask), so the first in-loop sort stays full unless `presort`
+    # already compacted the pool.
+    prefix_live = live0 if presort else None
     for s in range(1, bounces + 1):
-        if (s - 1) % REORDER_EVERY == 0:
-            state, orig_idx = reorder(state, orig_idx)
+        sorted_now = (s - 1) % REORDER_EVERY == 0
+        if sorted_now:
+            state, orig_idx = reorder(state, orig_idx,
+                                      prev_live=prefix_live)
         prev = state
         order, skip = _chunk_order(state, chunk_aabbs, block_rows)
         state, _, live_s, miss = _segment_call(
             table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order, skip,
             state, is_first=False, has_cont=s < bounces, rows=rows,
-            interpret=interpret, xla_env=xla_env, block_rows=block_rows)
+            interpret=interpret, xla_env=xla_env, block_rows=block_rows,
+            chunk=chunk)
         total_live = total_live + live_s
+        if sorted_now:
+            prefix_live = live_s
         if xla_env:
             state, _, _ = add_env(state, prev, miss)
 
@@ -700,7 +760,8 @@ def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
                        bounces: int, presort: bool = False,
                        interpret: bool | None = None, env_state=None,
                        lighting_type: int = 0, atmos_samples: int = 16,
-                       atmos_samples_light: int = 8):
+                       atmos_samples_light: int = 8,
+                       chunk: int = TRI_CHUNK):
     """Public entry; signature mirrors pallas_fused.render_pool_fused
     (Scene/Skydome lighting — SLS is single-segment and stays fused).
     ``presort`` groups the pool before the FIRST trace too — for
@@ -722,10 +783,12 @@ def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
         atmos_samples_light=int(atmos_samples_light),
         sort_block=int(os.environ.get("RTF_TPU_SORT_BLOCK",
                                       SORT_BLOCK_DEFAULT)),
+        chunk=int(chunk),
     )
 
 
-def sorted_dispatch(tables, incoherent: bool, rays: int = 0) -> bool:
+def sorted_dispatch(tables, incoherent: bool, rays: int = 0,
+                    chunk: int = TRI_CHUNK) -> bool:
     """Should this pool run the segmented+reordered engine instead of the
     fused mega-kernel? RTF_TPU_SORTED=1/0 forces; unset -> auto.
 
@@ -739,5 +802,5 @@ def sorted_dispatch(tables, incoherent: bool, rays: int = 0) -> bool:
         return flag == "1"
     if rays >= (1 << 19):
         return True
-    nchunks = tables[0].shape[0] // TRI_CHUNK
+    nchunks = tables[0].shape[0] // chunk
     return nchunks >= (8 if incoherent else 32)

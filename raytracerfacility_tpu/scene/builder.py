@@ -749,16 +749,24 @@ def build_compiled_scene(
                 pack_material_table,
             )
 
+            from raytracerfacility_tpu.ops.pallas_fused import auto_chunk
+
             if fused_geom is None:
+                chunk = auto_chunk(compiled.geometry.num_triangles)
                 table, sub_aabbs, chunk_aabbs, mat_table = pack_fused_tables(
-                    compiled)
+                    compiled, chunk=chunk)
                 fused_geom = (table, sub_aabbs, chunk_aabbs)
                 ens[1]["fused_geom"] = fused_geom
+                ens[1]["fused_chunk"] = chunk
                 compiled = compiled.replace(
-                    fused=(table, sub_aabbs, chunk_aabbs, mat_table))
+                    fused=(table, sub_aabbs, chunk_aabbs, mat_table),
+                    fused_chunk=chunk)
             else:
                 # geometry unchanged: only re-pack the material constants
                 compiled = compiled.replace(
-                    fused=fused_geom + (pack_material_table(compiled.materials),))
+                    fused=fused_geom + (pack_material_table(compiled.materials),),
+                    fused_chunk=int(ens[1].get(
+                        "fused_chunk",
+                        auto_chunk(compiled.geometry.num_triangles))))
 
     return compiled

@@ -86,6 +86,10 @@ class CompiledScene:
     # path cannot specialize (curves, textures, BTF, subsurface, non-Default
     # materials)
     fused: object | None = None
+    # SMEM window size the fused tables were packed with (per-scene,
+    # ops/pallas_fused.auto_chunk); static — it selects kernel grids.
+    # 0 = unset (legacy TRI_CHUNK default).
+    fused_chunk: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_instances(self) -> int:

@@ -6,7 +6,11 @@ PERF.md rules (dependent device scalar readback).
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_config4.py
 """
 
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_rtf")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
@@ -57,10 +61,18 @@ def main():
         return est.probes.energy
 
     import numpy as np
-    print("whole estimate:", tm(whole, 3, n=3), "ms", flush=True)
+    # individual call times (bench --config 4 times exactly call #2;
+    # check whether it is an outlier vs steady state)
+    fence(whole(1))
+    for i in range(2, 7):
+        t0 = time.perf_counter()
+        fence(whole(i))
+        print(f"  estimate call #{i}: "
+              f"{(time.perf_counter() - t0) * 1e3:.0f} ms", flush=True)
 
     # component costs at the estimator pool shape
     table, sub_aabbs, chunk_aabbs, mat_table = compiled.fused
+    print("fused_chunk:", compiled.fused_chunk, flush=True)
     r = probes.num_probes * 2
     rows = (r + 127) // 128
     block_rows = seg._pick_block_rows(rows)
@@ -73,7 +85,7 @@ def main():
     key = jax.random.PRNGKey(0)
     # origins spread over the canopy extent, random hemisphere directions
     lo3 = jnp.min(chunk_aabbs[:, 0:3], axis=0)
-    hi3 = jnp.max(jnp.where(chunk_aabbs[:, 3] > -1e37,
+    hi3 = jnp.max(jnp.where(chunk_aabbs[:, 3:4] > -1e37,
                             chunk_aabbs[:, 3:6], -3.4e38), axis=0)
     o = jax.random.uniform(key, (rows, 128, 3)) * (hi3 - lo3) + lo3
     d = jax.random.normal(jax.random.fold_in(key, 1), (rows, 128, 3))
@@ -129,7 +141,8 @@ def main():
             out, _, live, _ = seg._segment_call(
                 table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
                 skip, state, is_first=False, has_cont=True, rows=rows,
-                interpret=False, xla_env=False, block_rows=block_rows)
+                interpret=False, xla_env=False, block_rows=block_rows,
+                chunk=compiled.fused_chunk or seg.TRI_CHUNK)
             return out[11]
 
         print(f"segment trace live={frac}:", tm(trace, stf), "ms",

@@ -120,7 +120,8 @@ def main():
             out, _, live, _ = seg._segment_call(
                 table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
                 skip, state, is_first=False, has_cont=True, rows=rows,
-                interpret=False, xla_env=False, block_rows=block_rows)
+                interpret=False, xla_env=False, block_rows=block_rows,
+                chunk=compiled.fused_chunk or seg.TRI_CHUNK)
             return out[11]
 
         print(f"segment trace live={frac}:", tm(trace, stf), "ms",

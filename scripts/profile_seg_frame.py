@@ -1,0 +1,149 @@
+"""Per-segment timing of a REAL 1080p/8-bounce frame on the segmented
+engine: camera raygen, then each (reorder, chunk_order, segment trace)
+step with the true evolving ray state, each fenced by a dependent device
+scalar (PERF.md rules). This is the frame-composition ground truth the
+synthetic-state probe (profile_seg.py) approximates.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_seg_frame.py
+"""
+
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_rtf")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+
+
+def fence(x):
+    return float(jnp.sum(jax.tree.leaves(x)[0].reshape(-1)[:1]))
+
+
+def tm(fn, *args, n=3):
+    fence(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        fence(fn(*args))
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def main():
+    from __graft_entry__ import _bench_scene
+    from raytracerfacility_tpu.models.pathtracer import (
+        RenderConfig, generate_camera_rays, lcg_init)
+    from raytracerfacility_tpu.models.renderer import EnvironmentProperties
+    from raytracerfacility_tpu.ops import pallas_seg as seg
+
+    W, H, BOUNCES = 1920, 1080, 8
+    scene, camprops, envprops = _bench_scene(W, H)
+    compiled = scene.build()
+    cam = camprops.state()
+    env = envprops.state()
+    table, sub_aabbs, chunk_aabbs, mat_table = compiled.fused
+
+    base = jnp.zeros((4,), jnp.float32)
+    fence_ms = tm(lambda x: x + 1.0, base, n=5)
+    print(f"fence overhead: {fence_ms:.1f} ms", flush=True)
+
+    # camera rays, frame 0 (mirrors _render_samples_fused)
+    iy, ix = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    pixel_index = (ix + W * iy).astype(jnp.uint32)
+    rng0 = lcg_init(pixel_index[None],
+                    jnp.broadcast_to(jnp.uint32(0), (1, H, W)))
+    rng0, origin, direction = generate_camera_rays(
+        cam, rng0, ix[None], iy[None], W, H)
+
+    r = W * H
+    origin = origin.reshape(r, 3)
+    direction = direction.reshape(r, 3)
+    rng = rng0.reshape(r)
+    valid = jnp.ones((r,), jnp.float32)
+    env_vec = jnp.zeros((16,), jnp.float32)
+    env_vec = env_vec.at[0:3].set(0.3)
+
+    block_rows = seg._pick_block_rows((r + 127) // 128)
+    block = block_rows * 128
+    pad = (-r) % block
+    if pad:
+        origin = jnp.concatenate([origin, jnp.zeros((pad, 3))], 0)
+        direction = jnp.concatenate(
+            [direction, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (pad, 1))], 0)
+        rng = jnp.concatenate([rng, jnp.zeros((pad,), jnp.uint32)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), jnp.float32)])
+    rp = r + pad
+    rows = rp // 128
+    chunk = compiled.fused_chunk or seg.TRI_CHUNK
+    print(f"rows={rows} block_rows={block_rows} tiles={rows // block_rows}"
+          f" chunks(grid)={table.shape[0] // chunk}", flush=True)
+
+    def plane(x):
+        return x.reshape(rows, 128)
+
+    zero = jnp.zeros((rows, 128), jnp.float32)
+    one = zero + 1.0
+    state = (plane(origin[:, 0]), plane(origin[:, 1]), plane(origin[:, 2]),
+             plane(direction[:, 0]), plane(direction[:, 1]),
+             plane(direction[:, 2]),
+             plane(jax.lax.bitcast_convert_type(rng, jnp.int32)),
+             plane(valid), one, one, one, zero, zero, zero)
+
+    cvalid = chunk_aabbs[:, 0] < 1e37
+    big = 3.4e38
+    lo = jnp.min(jnp.where(cvalid[:, None], chunk_aabbs[:, 0:3], big), 0)
+    hi = jnp.max(jnp.where(cvalid[:, None], chunk_aabbs[:, 3:6], -big), 0)
+    inv_extent = 1.0 / jnp.maximum(hi - lo, 1e-6)
+    orig_idx = jnp.arange(rp, dtype=jnp.int32).reshape(rows, 128)
+
+    @jax.jit
+    def reorder(state, orig_idx):
+        key = seg._morton_key(state[0], state[1], state[2], state[3],
+                              state[4], state[5], state[7], lo, inv_extent)
+        f32s = [p.reshape(rp) for p in state[:6] + state[8:]]
+        i32s = [state[6].reshape(rp), orig_idx.reshape(rp)]
+        outs = jax.lax.sort(tuple([key.reshape(rp)] + f32s + i32s),
+                            num_keys=1)
+        key_s = outs[0].reshape(rp)
+        act = plane((key_s != jnp.int32(2147483647)).astype(jnp.float32))
+        p6 = [plane(o.reshape(rp)) for o in outs[1:7]]
+        rest = [plane(o.reshape(rp)) for o in outs[7:13]]
+        rng_p = plane(outs[13].reshape(rp))
+        return (*p6, rng_p, act, *rest), plane(outs[14].reshape(rp))
+
+    @jax.jit
+    def corder(state):
+        return seg._chunk_order(state, chunk_aabbs, block_rows)
+
+    def run_segment(state, order, skip, is_first, has_cont):
+        out, aovs, live, _ = seg._segment_call(
+            table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order, skip,
+            state, is_first=is_first, has_cont=has_cont, rows=rows,
+            interpret=False, xla_env=False, block_rows=block_rows,
+            chunk=chunk)
+        return out
+
+    total = 0.0
+    for s in range(BOUNCES + 1):
+        if s > 0:
+            t = tm(reorder, state, orig_idx)
+            state, orig_idx = jax.jit(reorder)(state, orig_idx)
+            print(f"  seg {s}: reorder {t - fence_ms:6.1f} ms", flush=True)
+            total += t - fence_ms
+        t = tm(corder, state)
+        order, skip = corder(state)
+        visited = float(jnp.mean(jnp.sum(1 - skip, axis=1)))
+        live_frac = float(jnp.mean(state[7]))
+        tt = tm(lambda st: run_segment(st, order, skip, s == 0, s < BOUNCES),
+                state)
+        print(f"  seg {s}: chunk_order {t - fence_ms:5.1f} ms | trace "
+              f"{tt - fence_ms:6.1f} ms | live {live_frac * 100:5.1f}% | "
+              f"visited chunks/tile {visited:.1f}", flush=True)
+        state = run_segment(state, order, skip, s == 0, s < BOUNCES)
+        total += (t - fence_ms) + (tt - fence_ms)
+    print(f"sum of parts: {total:.0f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
