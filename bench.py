@@ -216,6 +216,10 @@ def run_config4() -> dict:
     config = RenderConfig(bounces=2, samples=1, enable_textures=False,
                           enable_vertex_color=False)
     est.sample_light_probe_group(compiled, env, config, seed=1)  # compile
+    # fence the warmup with the SAME readback as the timed call (the
+    # first energy[0,0] eager slice pays a one-time ~0.7 s remote
+    # compile on this runtime; config 2's warmup does the same)
+    _ = float(est.probes.energy[0, 0])
     t0 = time.perf_counter()
     est.sample_light_probe_group(compiled, env, config, seed=2)
     _ = float(est.probes.energy[0, 0])

@@ -95,6 +95,13 @@ MORTON_BITS = int(os.environ.get("RTF_TPU_SEG_MBITS", "4"))
 # ms at 2M rays — see module docstring — so its cadence is a tunable
 # trade against the compaction/coherence win it buys)
 REORDER_EVERY = int(os.environ.get("RTF_TPU_SEG_EVERY", "1"))
+# extra direction bits per minor axis in the reorder key (0 = octant
+# only). With k > 0 the direction key becomes cubemap-style: dominant
+# face (6 values) + a 2^k x 2^k texel over the two minor-axis slopes,
+# so a sorted tile's rays share a much tighter direction CONE than the
+# octant's 90-degree wedge — tighter tile frusta, more chunk culls —
+# at the cost of splitting origin-coherent runs across more buckets.
+DIR_BITS = int(os.environ.get("RTF_TPU_SEG_DBITS", "0"))
 # sort-block granularity, in kernel tiles (0 = one global sort): rays
 # only need coherence WITHIN a tile, so sorting B independent blocks of
 # consecutive tiles (XLA batches row-wise sorts) preserves almost all
@@ -518,7 +525,26 @@ def _morton_key(ox, oy, oz, dx, dy, dz, act, lo, inv_extent):
     octant = ((dx < 0).astype(jnp.int32) * 4
               + (dy < 0).astype(jnp.int32) * 2
               + (dz < 0).astype(jnp.int32))
-    key = (octant << (3 * m)) | code
+    if DIR_BITS > 0:
+        # cubemap-style refinement: dominant axis (3 values) + the two
+        # minor-axis slopes quantized to 2^k each. Combined with the
+        # octant (signs), a bucket is a cone of half-angle ~atan(1/2^k).
+        k = DIR_BITS
+        ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+        dom = jnp.where(ax >= jnp.maximum(ay, az), 0,
+                        jnp.where(ay >= az, 1, 2))
+        amax = jnp.maximum(ax, jnp.maximum(ay, az))
+        inv = 1.0 / jnp.maximum(amax, 1e-20)
+        # the two non-dominant slopes in [0, 1)
+        u = jnp.where(dom == 0, ay, ax) * inv
+        v = jnp.where(dom == 2, ay, az) * inv
+        scale_d = float(1 << k)
+        qu = jnp.clip((u * scale_d).astype(jnp.int32), 0, (1 << k) - 1)
+        qv = jnp.clip((v * scale_d).astype(jnp.int32), 0, (1 << k) - 1)
+        dkey = ((octant * 3 + dom) << (2 * k)) | (qu << k) | qv
+        key = (dkey << (3 * m)) | code
+    else:
+        key = (octant << (3 * m)) | code
     return jnp.where(act > 0.0, key, jnp.int32(2147483647))
 
 

@@ -24,6 +24,7 @@ VARMAP = {
     "SEG_ROWS": "RTF_TPU_SEG_ROWS",
     "SORT_BLOCK": "RTF_TPU_SORT_BLOCK",
     "SEG_MBITS": "RTF_TPU_SEG_MBITS",
+    "DBITS": "RTF_TPU_SEG_DBITS",
 }
 
 
