@@ -181,8 +181,12 @@ def run_config3() -> dict:
     scene.upsert_instance(3, version=0, geometry=1, material=2)
     cam = CameraProperties(fov=60.0, size=(256, 256))
     cam.look_at_target((0.0, 0.4, 2.2), (0.0, 0.0, 0.0))
+    # enable_textures/enable_vertex_color mirror the facade's static
+    # derivation for this scene (renderer._has_textures/_has_vertex_color:
+    # no textures bound, no VertexColor material), same as config 1
     config = RenderConfig(width=256, height=256, bounces=2, samples=1,
-                          enable_btf=True)
+                          enable_btf=True, enable_textures=False,
+                          enable_vertex_color=False)
     mrays = _timed_frames(scene, cam, EnvironmentProperties(), config)
     return {"metric": "config3_btf_curved_mesh", "value": round(mrays, 3),
             "unit": "Mrays/s", "vs_baseline": round(mrays / TARGET_MRAYS, 4)}

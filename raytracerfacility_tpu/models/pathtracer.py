@@ -29,6 +29,7 @@ Mode semantics preserved:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -178,6 +179,102 @@ def init_path_state(origin, direction, rng, tmin) -> PathState:
     )
 
 
+# Bucketed BTF decode (RTF_BTF_BUCKET=0 restores the dense path): the
+# MLVQ decode chain runs on EVERY lane when evaluated densely — on a
+# miss the clamped hit record still points at a (possibly BTF) triangle,
+# so even fully-missed segments pay the full PDF-chain gather cost
+# (scripts/probe_btf_scan.py: the decode is 96 ms of a 252 ms 8-frame
+# 256^2 scan, ~38%). Decode lanes are compacted to a prefix with one
+# multi-operand lax.sort and the decode + tangent-space angle math run
+# only on the smallest static bucket (R, R/2, ... R/16) covering the
+# decode-lane count — the same liveness-bucket trick as the segmented
+# engine's reorder (ops/pallas_seg.py).
+_BTF_BUCKET = os.environ.get("RTF_BTF_BUCKET", "1") == "1"
+
+
+def _btf_colors(scene, mask, btf_index, tex_coord, view_dir, illum_dir,
+                normal, tangent):
+    """Per-lane BTF color (ones on non-``mask`` lanes).
+
+    Vectorizes the hit shader's BTF branch (ref RayFunctions.cuh:173-257
+    via SurfaceCompressedBTF::GetValue, RayDataDefinations.hpp:326-351;
+    the /256 post-scale at :347). ``mask`` is ``is_btf & accepted`` —
+    every downstream consumer of the color is masked by ``accepted``, so
+    skipping the decode on rejected/missed lanes is output-equivalent.
+    The decode is lanewise, but XLA codegen (FMA contraction,
+    vectorization) depends on the window's batch shape and layout, so
+    decoded lanes match the dense path to ULP level — except rare lanes
+    whose angle/texel sits within a ULP of a table-cell boundary, which
+    land in the neighboring cell (<1%, tests/test_btf_bucketed.py).
+    """
+    from raytracerfacility_tpu.mlvq.btf import btf_get_value, compute_angles
+
+    def decode(m, bidx, uv, vd, il, nrm, tan):
+        view_theta, view_phi = compute_angles(vd, nrm, tan)
+        illum_theta, illum_phi = compute_angles(il, nrm, tan)
+        out = jnp.ones(uv.shape[:-1] + (3,), jnp.float32)
+        for k, tbl in enumerate(scene.btf):
+            sel = m & (bidx == k)
+            val = btf_get_value(
+                tbl, uv, illum_theta, illum_phi, view_theta, view_phi
+            ) / 256.0
+            out = jnp.where(sel[..., None], val, out)
+        return out
+
+    R = mask.shape[0] if mask.ndim == 1 else 0
+    if not (_BTF_BUCKET and R >= 4096 and R % 16 == 0):
+        return decode(mask, btf_index, tex_coord, view_dir, illum_dir,
+                      normal, tangent)
+
+    key = jnp.where(mask, jnp.int32(0), jnp.int32(1))
+    idx = jnp.arange(R, dtype=jnp.int32)
+    planes = (key, idx, btf_index.astype(jnp.int32),
+              tex_coord[:, 0], tex_coord[:, 1],
+              view_dir[:, 0], view_dir[:, 1], view_dir[:, 2],
+              illum_dir[:, 0], illum_dir[:, 1], illum_dir[:, 2],
+              normal[:, 0], normal[:, 1], normal[:, 2],
+              tangent[:, 0], tangent[:, 1], tangent[:, 2])
+    srt = jax.lax.sort(planes, num_keys=1)
+    key_s, idx_s, bidx_s = srt[0], srt[1], srt[2]
+    uv_s = jnp.stack(srt[3:5], axis=-1)
+    vd_s = jnp.stack(srt[5:8], axis=-1)
+    il_s = jnp.stack(srt[8:11], axis=-1)
+    n_s = jnp.stack(srt[11:14], axis=-1)
+    t_s = jnp.stack(srt[14:17], axis=-1)
+    n_decode = jnp.sum(mask.astype(jnp.int32))
+
+    def window(w):
+        def f(_):
+            val = decode(key_s[:w] == 0, bidx_s[:w], uv_s[:w], vd_s[:w],
+                         il_s[:w], n_s[:w], t_s[:w])
+            if w == R:
+                return val
+            return jnp.concatenate(
+                [val, jnp.ones((R - w, 3), jnp.float32)])
+        return f
+
+    val_s = jax.lax.cond(
+        n_decode <= R // 16, window(R // 16),
+        lambda o: jax.lax.cond(
+            n_decode <= R // 8, window(R // 8),
+            lambda o2: jax.lax.cond(
+                n_decode <= R // 4, window(R // 4),
+                lambda o3: jax.lax.cond(
+                    n_decode <= R // 2, window(R // 2),
+                    window(R), o3),
+                o2),
+            o),
+        0)
+
+    # unsort via a second sort keyed on the original lane index (the
+    # scatter alternative measured ~4x a multi-operand sort's cost in the
+    # segment-reorder work, PERF.md); idx is a permutation, so this
+    # restores original order exactly regardless of sort stability
+    _, r, g, b = jax.lax.sort(
+        (idx_s, val_s[:, 0], val_s[:, 1], val_s[:, 2]), num_keys=1)
+    return jnp.stack([r, g, b], axis=-1)
+
+
 def _segment(
     scene: CompiledScene,
     env: EnvironmentState,
@@ -265,18 +362,12 @@ def _segment(
     # ---- BTF color lookup (ref SurfaceCompressedBTF::GetValue,
     # RayDataDefinations.hpp:326-351; out /= 256 at :347). Uses the
     # geometric normal/tangent (BTF materials skip normal mapping).
-    btf_color = jnp.ones_like(surf.albedo)
     if use_btf:
-        from raytracerfacility_tpu.mlvq.btf import btf_get_value, compute_angles
-
-        view_theta, view_phi = compute_angles(-s.direction, hit.normal, hit.tangent)
-        illum_theta, illum_phi = compute_angles(illum_dir, hit.normal, hit.tangent)
-        for k, tbl in enumerate(scene.btf):
-            mask = is_btf & (surf.btf_index == k)
-            val = btf_get_value(
-                tbl, hit.tex_coord, illum_theta, illum_phi, view_theta, view_phi
-            ) / 256.0
-            btf_color = where(mask[..., None], val, btf_color)
+        btf_color = _btf_colors(
+            scene, is_btf & accepted, surf.btf_index, hit.tex_coord,
+            -s.direction, illum_dir, hit.normal, hit.tangent)
+    else:
+        btf_color = jnp.ones_like(surf.albedo)
 
     # ---- first-hit AOVs (ref RayFunctions.cuh:163-167, 251-255: written
     # when hitCount == 1; albedo = btfColor for BTF materials)
