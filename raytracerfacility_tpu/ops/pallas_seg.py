@@ -109,6 +109,18 @@ DIR_BITS = int(os.environ.get("RTF_TPU_SEG_DBITS", "0"))
 # single 2M-element argsort. Read at call time (render_pool_sorted) so
 # tests and sweeps can flip it per call.
 SORT_BLOCK_DEFAULT = "0"
+# liveness-windowed TRACE grid (RTF_TPU_TRACE_WINDOW=0 disables): after
+# a reorder, every live ray sits in the compacted prefix, but the
+# kernel's grid still stepped ALL (tiles, nchunks) steps — a dead tile
+# pays ~2.1 us per grid step (vs ~180 us live), which at 1080p (507
+# tiles x ~11 chunks) is ~12 ms of pure grid overhead per segment even
+# at 8% liveness. Each bounce segment therefore runs on the smallest
+# static tile-aligned window (tiles, /2, /4, /8) covering the live
+# prefix extent, picked by a lax.cond cascade; the dead tail passes
+# through untouched (the kernel is the identity on dead lanes, so this
+# is bit-identical). Read at call time (render_pool_sorted) and passed
+# as a static arg so tests/sweeps can flip it per call.
+TRACE_WINDOW_DEFAULT = "1"
 
 
 def _kernel(
@@ -552,14 +564,15 @@ def _morton_key(ox, oy, oz, dx, dy, dz, act, lo, inv_extent):
     jax.jit,
     static_argnames=("bounces", "presort", "interpret", "lighting_type",
                      "atmos_samples", "atmos_samples_light", "sort_block",
-                     "chunk"))
+                     "chunk", "trace_window"))
 def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         direction, rng, valid, env_vec, bounces: int,
                         presort: bool = False, interpret: bool = False,
                         env_state=None, lighting_type: int = 0,
                         atmos_samples: int = 16,
                         atmos_samples_light: int = 8,
-                        sort_block: int = 0, chunk: int = TRI_CHUNK):
+                        sort_block: int = 0, chunk: int = TRI_CHUNK,
+                        trace_window: bool = True):
     r = origin.shape[0]
     block_rows = _pick_block_rows((r + _LANES - 1) // _LANES)
     block = block_rows * _LANES
@@ -676,26 +689,32 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
 
     xla_env = env_state is not None
 
-    def add_env(state, prev, miss):
+    def add_env(state, prev, miss, n=None):
         """Position/direction-dependent miss radiance (cubemap Scene or
         Nishita Skydome), ONE vectorized XLA step per segment — exactly
         the wavefront engine's miss formula (ref MissFunc,
-        RayFunctions.cuh:260-272), so results match it bit-for-bit."""
+        RayFunctions.cuh:260-272), so results match it bit-for-bit.
+        ``n`` is the window's ray count (the env step runs on the same
+        liveness window as the trace: misses only occur on live lanes,
+        all of which sit inside the window)."""
         from raytracerfacility_tpu.ops.environment import (
             calculate_environmental_light,
         )
 
-        o = jnp.stack([prev[0].reshape(rp), prev[1].reshape(rp),
-                       prev[2].reshape(rp)], axis=-1)
-        d = jnp.stack([prev[3].reshape(rp), prev[4].reshape(rp),
-                       prev[5].reshape(rp)], axis=-1)
+        if n is None:
+            n = rp
+        o = jnp.stack([prev[0].reshape(n), prev[1].reshape(n),
+                       prev[2].reshape(n)], axis=-1)
+        d = jnp.stack([prev[3].reshape(n), prev[4].reshape(n),
+                       prev[5].reshape(n)], axis=-1)
         light = calculate_environmental_light(
             o, d, env_state, lighting_type, atmos_samples,
             atmos_samples_light)
-        m = miss.reshape(rp)
+        m = miss.reshape(n)
         rad = [
-            plane(state[11 + i].reshape(rp)
-                  + m * prev[8 + i].reshape(rp) * light[:, i])
+            (state[11 + i].reshape(n)
+             + m * prev[8 + i].reshape(n) * light[:, i]).reshape(
+                 n // _LANES, _LANES)
             for i in range(3)
         ]
         return state[:11] + tuple(rad), light, m
@@ -732,23 +751,59 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
     # mask), so the first in-loop sort stays full unless `presort`
     # already compacted the pool.
     prefix_live = live0 if presort else None
+
+    tiles = rows // block_rows
+
+    def seg_window(wt, has_cont):
+        """One bounce segment on the first ``wt`` tiles; identity on the
+        dead tail (the kernel writes every dead lane's state back
+        unchanged, so slicing it off is bit-identical)."""
+        wr = wt * block_rows
+
+        def f(st):
+            sub = st if wr == rows else tuple(p[:wr] for p in st)
+            order, skip = _chunk_order(sub, chunk_aabbs, block_rows)
+            out, _, _, miss = _segment_call(
+                table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
+                skip, sub, is_first=False, has_cont=has_cont, rows=wr,
+                interpret=interpret, xla_env=xla_env,
+                block_rows=block_rows, chunk=chunk)
+            if xla_env:
+                out, _, _ = add_env(out, sub, miss, n=wr * _LANES)
+            if wr == rows:
+                return out
+            return tuple(jnp.concatenate([o, p[wr:]], axis=0)
+                         for o, p in zip(out, st))
+        return f
+
+    def run_bounce(st, extent, has_cont):
+        # window sizes are in whole kernel TILES (ceil(tiles/2^k)) so
+        # the windowed grid stays block-aligned; `extent` is compared in
+        # rays. Cascade mirrors the reorder's sort windows above.
+        if extent is None or not trace_window or tiles < 8:
+            return seg_window(tiles, has_cont)(st)
+        wts = [tiles, -(-tiles // 2), -(-tiles // 4), -(-tiles // 8)]
+        cover = [float(w * block_rows * _LANES) for w in wts]
+        return jax.lax.cond(
+            extent <= cover[3], seg_window(wts[3], has_cont),
+            lambda o: jax.lax.cond(
+                extent <= cover[2], seg_window(wts[2], has_cont),
+                lambda o2: jax.lax.cond(
+                    extent <= cover[1], seg_window(wts[1], has_cont),
+                    seg_window(wts[0], has_cont), o2),
+                o),
+            st)
+
     for s in range(1, bounces + 1):
         sorted_now = (s - 1) % REORDER_EVERY == 0
         if sorted_now:
             state, orig_idx = reorder(state, orig_idx,
                                       prev_live=prefix_live)
-        prev = state
-        order, skip = _chunk_order(state, chunk_aabbs, block_rows)
-        state, _, live_s, miss = _segment_call(
-            table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order, skip,
-            state, is_first=False, has_cont=s < bounces, rows=rows,
-            interpret=interpret, xla_env=xla_env, block_rows=block_rows,
-            chunk=chunk)
-        total_live = total_live + live_s
+        live_s = jnp.sum(state[7])
         if sorted_now:
             prefix_live = live_s
-        if xla_env:
-            state, _, _ = add_env(state, prev, miss)
+        state = run_bounce(state, prefix_live, has_cont=s < bounces)
+        total_live = total_live + live_s
 
     # restore original ray order: sorting (orig_idx, payloads...) by the
     # index IS the inverse permutation, and the multi-operand sort is
@@ -810,7 +865,98 @@ def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
         sort_block=int(os.environ.get("RTF_TPU_SORT_BLOCK",
                                       SORT_BLOCK_DEFAULT)),
         chunk=int(chunk),
+        trace_window=os.environ.get("RTF_TPU_TRACE_WINDOW",
+                                    TRACE_WINDOW_DEFAULT) == "1",
     )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _trace_sorted(table, sub_aabbs, chunk_aabbs, origin, direction, tmin,
+                  tmax, interpret=False):
+    from raytracerfacility_tpu.ops.pallas_brute import _trace
+
+    r = origin.shape[0]
+    # scene bounds for the reorder key, from the chunk AABB table (pad
+    # chunks carry inverted boxes; mask them out) — same derivation as
+    # _render_pool_sorted above
+    cvalid = chunk_aabbs[:, 0] < 1e37
+    big = 3.4e38
+    lo = jnp.min(jnp.where(cvalid[:, None], chunk_aabbs[:, 0:3], big), axis=0)
+    hi = jnp.max(jnp.where(cvalid[:, None], chunk_aabbs[:, 3:6], -big), axis=0)
+    inv_extent = 1.0 / jnp.maximum(hi - lo, 1e-6)
+
+    # a lane can only accept a hit in (tmin, tmax): lanes outside that
+    # window (wavefront dead lanes carry tmax = -3e38) compact to the
+    # pool tail exactly like the segmented engine's dead rays
+    act = (tmax > tmin).astype(jnp.float32)
+    key = _morton_key(origin[:, 0], origin[:, 1], origin[:, 2],
+                      direction[:, 0], direction[:, 1], direction[:, 2],
+                      act, lo, inv_extent)
+    idx = jnp.arange(r, dtype=jnp.int32)
+    outs = jax.lax.sort(
+        (key, origin[:, 0], origin[:, 1], origin[:, 2],
+         direction[:, 0], direction[:, 1], direction[:, 2],
+         tmin, tmax, idx),
+        num_keys=1)
+    o_s = jnp.stack(outs[1:4], axis=-1)
+    d_s = jnp.stack(outs[4:7], axis=-1)
+    t, prim, u, v = _trace(table, sub_aabbs, chunk_aabbs, o_s, d_s,
+                           outs[7], outs[8], interpret=interpret)
+    # unsort: sorting by the carried original index IS the inverse
+    # permutation (see the engine's final unsort above for why this beats
+    # an XLA scatter/gather)
+    _, t, prim, u, v = jax.lax.sort((outs[9], t, prim, u, v), num_keys=1)
+    return t, prim, u, v
+
+
+def trace_closest_sorted(tri_table, origin, direction, tmin, tmax,
+                         interpret: bool | None = None):
+    """Coherence-sorted closest-hit trace: one multi-operand lax.sort
+    groups rays by (direction octant, origin Morton cell) and compacts
+    dead lanes to the tail, the streaming brute kernel traces the sorted
+    pool (its per-tile front-to-back chunk culling now sees coherent
+    tiles), and a second sort restores original order.
+
+    BIT-IDENTICAL to ops.pallas_brute.trace_closest_pallas: the per-pair
+    Möller-Trumbore/curve math is lane-independent and the best-hit
+    record is a lexicographic (t, original-prim-id) min, so results are
+    visit-order (and therefore permutation) independent.
+
+    This is the wavefront engine's traversal upgrade for feature-rich
+    pools (textures/BTF/alpha — the shading the reference runs inside its
+    one OptiX pipeline, RayFunctions.cuh:25-258, which here runs as XLA
+    between trace segments): bounce segments regain the tile-coherent
+    culling the segmented Default-material engine gets from its in-loop
+    reorder (ops/pallas_seg._render_pool_sorted)."""
+    from raytracerfacility_tpu.ops.intersect import TraceResult
+    from raytracerfacility_tpu.ops.pallas_brute import _flatten
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, origin, direction, tmin_f, tmax_f = _flatten(
+        origin, direction, tmin, tmax)
+    table, sub_aabbs, chunk_aabbs = tri_table
+    t, prim, u, v = _trace_sorted(table, sub_aabbs, chunk_aabbs, origin,
+                                  direction, tmin_f, tmax_f,
+                                  interpret=bool(interpret))
+    prim_i = prim.astype(jnp.int32)
+    return TraceResult(
+        t=t.reshape(batch),
+        prim=prim_i.reshape(batch),
+        u=u.reshape(batch),
+        v=v.reshape(batch),
+        hit=(prim_i >= 0).reshape(batch),
+    )
+
+
+def sorted_trace_dispatch(rays: int) -> bool:
+    """Should a wavefront trace call use trace_closest_sorted?
+    RTF_TPU_SORTED_TRACE=1/0 forces; unset -> auto (pools big enough
+    that the two lax.sorts amortize against the culling they unlock)."""
+    flag = os.environ.get("RTF_TPU_SORTED_TRACE")
+    if flag is not None:
+        return flag == "1"
+    return rays >= (1 << 15)
 
 
 def sorted_dispatch(tables, incoherent: bool, rays: int = 0,

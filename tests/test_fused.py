@@ -144,6 +144,49 @@ def test_sorted_camera_bitexact_vs_fused(monkeypatch):
     assert float(rays_b) == float(rays_f)
 
 
+@pytest.mark.parametrize("env_hook", [False, True])
+def test_sorted_trace_window_bitexact(monkeypatch, env_hook):
+    """The liveness-windowed trace grid (each bounce segment runs on the
+    smallest tile-aligned window covering the compacted live prefix)
+    must be BIT-IDENTICAL to the full-grid segmented engine: the kernel
+    is the identity on dead lanes, so slicing the dead tail off and
+    concatenating it back changes no ray's arithmetic. Tiny kernel
+    tiles force the 48x48 pool to span 9 tiles so the /2,/4,/8 cascade
+    actually engages; env_hook=True additionally windows the per-segment
+    XLA miss-shading step (cubemap gather on the window only)."""
+    from raytracerfacility_tpu.enums import EnvironmentalLightingType
+    from raytracerfacility_tpu.models.renderer import EnvironmentProperties
+    from raytracerfacility_tpu.ops import pallas_seg
+
+    compiled_f, cam, env = _scene("1", monkeypatch)
+    lighting = EnvironmentalLightingType.SCENE
+    if env_hook:
+        rng = np.random.default_rng(3)
+        cm = rng.uniform(0.0, 1.5, (6, 8, 8, 3)).astype(np.float32)
+        env = EnvironmentProperties(skylight_intensity=0.9,
+                                    cubemap=cm).state()
+    config = RenderConfig(
+        width=48, height=48, bounces=4, samples=1, lighting_type=lighting,
+        enable_textures=False, enable_vertex_color=False,
+        samples_in_lanes=True)
+    monkeypatch.setenv("RTF_TPU_SORTED", "1")
+    # 18 rows / block_rows=2 -> 9 tiles (>= 8, cascade active)
+    monkeypatch.setattr(pallas_seg, "BLOCK_ROWS_ENV", "2")
+    monkeypatch.setenv("RTF_TPU_TRACE_WINDOW", "1")
+    frame_w, rays_w = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(48, 48))
+    monkeypatch.setenv("RTF_TPU_TRACE_WINDOW", "0")
+    frame_n, rays_n = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(48, 48))
+    for name in ("color", "normal", "albedo"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(frame_w, name)),
+            np.asarray(getattr(frame_n, name)), err_msg=name)
+    assert float(rays_w) == float(rays_n)
+    # non-vacuous: bounce lighting actually contributes
+    assert float(np.asarray(frame_n.color).std()) > 0.02
+
+
 @pytest.mark.parametrize("env_kind", ["cubemap", "skydome"])
 def test_sorted_env_hook_matches_wavefront(monkeypatch, env_kind):
     """Cubemap Scene and Nishita Skydome environments run on the
