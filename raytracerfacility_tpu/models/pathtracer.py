@@ -116,8 +116,17 @@ def trace_closest(scene: CompiledScene, origin, direction, tmin, tmax) -> TraceR
     op-execution for the whole trace; ops/pallas_brute.py), else LBVH when
     built, else the brute-force oracle."""
     if scene.pallas_tris is not None:
-        from raytracerfacility_tpu.ops.pallas_brute import trace_closest_pallas
+        import math as _math
 
+        from raytracerfacility_tpu.ops.pallas_brute import trace_closest_pallas
+        from raytracerfacility_tpu.ops.pallas_seg import (
+            sorted_trace_dispatch,
+            trace_closest_sorted,
+        )
+
+        if sorted_trace_dispatch(_math.prod(origin.shape[:-1])):
+            return trace_closest_sorted(
+                scene.pallas_tris, origin, direction, tmin, tmax)
         return trace_closest_pallas(scene.pallas_tris, origin, direction, tmin, tmax)
     if scene.bvh is not None:
         from raytracerfacility_tpu.ops.traverse import trace_closest_bvh
