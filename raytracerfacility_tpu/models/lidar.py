@@ -49,7 +49,8 @@ def scan_point_cloud(
     like the reference's OPTIX_RAY_FLAG_DISABLE_ANYHIT
     (ref ptx/PointCloudScanning.cu:58-71, tmin = 1e-3)."""
     res = trace_closest(
-        scene, start, direction, jnp.float32(1e-3), jnp.float32(1e20)
+        scene, start, direction, jnp.float32(1e-3), jnp.float32(1e20),
+        coherent=True,
     )
     hit = interpolate_hit(
         scene, res.prim, res.u, res.v, direction, origin=start, t_hit=res.t

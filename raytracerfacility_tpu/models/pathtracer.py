@@ -111,10 +111,14 @@ class RenderConfig:
         return self.bounces + 1 + self.alpha_segments
 
 
-def trace_closest(scene: CompiledScene, origin, direction, tmin, tmax) -> TraceResult:
+def trace_closest(scene: CompiledScene, origin, direction, tmin, tmax,
+                  coherent: bool = False) -> TraceResult:
     """Traversal dispatch: Pallas mega-kernel when packed (one
     op-execution for the whole trace; ops/pallas_brute.py), else LBVH when
-    built, else the brute-force oracle."""
+    built, else the brute-force oracle. ``coherent`` marks pools whose
+    NATURAL order is already tile-coherent (LiDAR's rotated scan grid):
+    the octant+Morton sort would scatter that order — measured 0.74 vs
+    0.65 s on the 250k-beam config-5 sweep — so such pools skip it."""
     if scene.pallas_tris is not None:
         import math as _math
 
@@ -124,7 +128,8 @@ def trace_closest(scene: CompiledScene, origin, direction, tmin, tmax) -> TraceR
             trace_closest_sorted,
         )
 
-        if sorted_trace_dispatch(_math.prod(origin.shape[:-1])):
+        if not coherent and sorted_trace_dispatch(
+                _math.prod(origin.shape[:-1])):
             return trace_closest_sorted(
                 scene.pallas_tris, origin, direction, tmin, tmax)
         return trace_closest_pallas(scene.pallas_tris, origin, direction, tmin, tmax)
