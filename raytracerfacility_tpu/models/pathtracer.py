@@ -235,7 +235,19 @@ def _btf_colors(scene, mask, btf_index, tex_coord, view_dir, illum_dir,
             out = jnp.where(sel[..., None], val, out)
         return out
 
-    R = mask.shape[0] if mask.ndim == 1 else 0
+    if mask.ndim > 1:
+        # camera pools are (H, W) / (frames, H, W); the bucketed path is
+        # lane-order based, so flatten, decode, un-flatten — compaction
+        # semantics are shape-independent
+        shape = mask.shape
+        flat = _btf_colors(
+            scene, mask.reshape(-1), btf_index.reshape(-1),
+            tex_coord.reshape(-1, 2), view_dir.reshape(-1, 3),
+            illum_dir.reshape(-1, 3), normal.reshape(-1, 3),
+            tangent.reshape(-1, 3))
+        return flat.reshape(*shape, 3)
+
+    R = mask.shape[0]
     if not (_BTF_BUCKET and R >= 4096 and R % 16 == 0):
         return decode(mask, btf_index, tex_coord, view_dir, illum_dir,
                       normal, tangent)
@@ -686,18 +698,20 @@ def sorted_env_compatible(scene: CompiledScene, env: EnvironmentState,
     )
 
 
-def _render_samples_fused(
-    scene, camera, env, config, ix, iy_global, pixel_index, base_seed,
-    height, width, sample_count,
+def _pool_fused_slots(
+    scene, camera, env, config, ix, iy_global, pixel_index, seed,
+    height, width, slot_count,
 ):
-    """Fused-path body of :func:`render_samples`: all spp fold into one ray
-    pool (the ``samples_in_lanes`` seeding: per-sample RNG streams are
-    decorrelated rather than sequential — distributions match the
-    reference, see render_samples notes)."""
+    """Trace ``slot_count`` x ``height`` x ``width`` camera rays as ONE
+    fused/segmented Pallas pool and return the *per-slot* linear
+    accumulators (slot, H, W, 3) plus the live-ray count. ``seed`` is the
+    (slot, 1, 1) uint32 per-slot RNG seed word — callers decide whether
+    slots are spp (decorrelated streams) or progressive frames (the
+    reference's per-frame ``Init(pixel, frameId)`` seeds,
+    ref ptx/CameraRendering.cu:42-44)."""
     from raytracerfacility_tpu.ops.pallas_fused import render_pool_fused
 
-    s_idx = jnp.arange(sample_count, dtype=jnp.uint32)[:, None, None]
-    seed = base_seed + jnp.uint32(0x85EBCA6B) * s_idx
+    sample_count = slot_count
     rng = lcg_init(
         jnp.broadcast_to(pixel_index, (sample_count, height, width)),
         jnp.broadcast_to(seed, (sample_count, height, width)),
@@ -771,12 +785,35 @@ def _render_samples_fused(
     def unflatten(a):
         return a.reshape(sample_count, height, width, 3)
 
+    return (
+        unflatten(radiance),
+        unflatten(normal),
+        unflatten(albedo),
+        unflatten(position),
+        rays,
+    )
+
+
+def _render_samples_fused(
+    scene, camera, env, config, ix, iy_global, pixel_index, base_seed,
+    height, width, sample_count,
+):
+    """Fused-path body of :func:`render_samples`: all spp fold into one ray
+    pool (the ``samples_in_lanes`` seeding: per-sample RNG streams are
+    decorrelated rather than sequential — distributions match the
+    reference, see render_samples notes)."""
+    s_idx = jnp.arange(sample_count, dtype=jnp.uint32)[:, None, None]
+    seed = base_seed + jnp.uint32(0x85EBCA6B) * s_idx
+    radiance, normal, albedo, position, rays = _pool_fused_slots(
+        scene, camera, env, config, ix, iy_global, pixel_index, seed,
+        height, width, sample_count,
+    )
     inv_n = 1.0 / config.samples
     return (
-        jnp.sum(unflatten(radiance), axis=0) * inv_n,
-        jnp.sum(unflatten(normal), axis=0) * inv_n,
-        jnp.sum(unflatten(albedo), axis=0) * inv_n,
-        jnp.sum(unflatten(position), axis=0) * inv_n,
+        jnp.sum(radiance, axis=0) * inv_n,
+        jnp.sum(normal, axis=0) * inv_n,
+        jnp.sum(albedo, axis=0) * inv_n,
+        jnp.sum(position, axis=0) * inv_n,
         rays,
     )
 
@@ -983,6 +1020,89 @@ def render_frame_counted(
     return out, rays
 
 
+def render_samples_frames_pooled(
+    scene: CompiledScene,
+    camera: CameraState,
+    env: EnvironmentState,
+    config: RenderConfig,
+    frame_id: jax.Array,
+    num_frames: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Trace ``num_frames`` progressive frames' camera rays as ONE ray
+    pool; returns *per-frame* linear accumulators (F, H, W, 3) and the
+    total live-ray count.
+
+    Progressive frames are RNG-independent by construction — each frame
+    reseeds from scratch with ``Init(pixel index, frame id)``
+    (ref ptx/CameraRendering.cu:42-44; :func:`render_samples` base_seed
+    with sample_stream 0) — so frame f's per-ray arithmetic here is
+    BIT-IDENTICAL to a sequential ``render_samples(frame_id + f)`` call:
+    pooling only changes which lanes ride in the same kernel tiles, and
+    every engine's per-ray result is pool-composition independent (the
+    reorder engines are tested bit-identical to the unsorted paths).
+    What pooling buys is amortization of the per-dispatch floor: a
+    256x256 wavefront frame is ~33 ms of which most is small-pool fixed
+    cost, paid 8x by the sequential scan and once here.
+
+    Requires ``config.samples == 1`` (spp pooling is a separate axis,
+    see ``samples_in_lanes``).
+    """
+    assert config.samples == 1, "frame pooling requires samples == 1"
+    height, width = config.height, config.width
+    iy, ix = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32),
+        jnp.arange(width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    pixel_index = (ix + width * iy).astype(jnp.uint32)
+    f_idx = jnp.arange(num_frames, dtype=jnp.uint32)[:, None, None]
+    # per-frame seed word == render_samples' base_seed at frame_id + f
+    seed = frame_id.astype(jnp.uint32) + f_idx
+
+    if (fused_camera_compatible(scene, env, config)
+            or sorted_env_compatible(scene, env, config)):
+        return _pool_fused_slots(
+            scene, camera, env, config, ix, iy, pixel_index, seed,
+            height, width, num_frames,
+        )
+
+    rng = lcg_init(
+        jnp.broadcast_to(pixel_index, (num_frames, height, width)),
+        jnp.broadcast_to(seed, (num_frames, height, width)),
+    )
+    rng, origin, direction = generate_camera_rays(
+        camera, rng, ix[None], iy[None], width, config.height
+    )
+    path, rays = trace_radiance_counted(
+        scene, env, config, origin, direction, rng, jnp.float32(0.0)
+    )
+    return (
+        path.radiance,
+        path.first_normal,
+        path.first_albedo,
+        path.first_position,
+        rays,
+    )
+
+
+def _frame_pool_group(config: RenderConfig, num_frames: int) -> int:
+    """Static group size for pooled progressive frames: the largest
+    divisor of ``num_frames`` whose pooled ray count stays under the
+    RTF_TPU_FRAME_POOL_RAYS cap (default 4M rays — bounds the packed
+    segmented-engine state and the reorder sort size). 1 disables
+    pooling (multi-spp configs keep the sequential scan: spp already
+    pools into lanes on the fast path)."""
+    if num_frames <= 1 or config.samples != 1:
+        return 1
+    cap = int(os.environ.get("RTF_TPU_FRAME_POOL_RAYS", str(4 * 1024 * 1024)))
+    per_frame = config.height * config.width
+    best = 1
+    for d in range(1, num_frames + 1):
+        if num_frames % d == 0 and d * per_frame <= cap:
+            best = d
+    return best
+
+
 def render_frames_counted(
     scene: CompiledScene,
     camera: CameraState,
@@ -1003,13 +1123,40 @@ def render_frames_counted(
     count — measured ~28 ms of tunnel round-trip per frame on the
     benchmark runtime, which dominates small frames (a 256x256 BTF
     frame is ~16 ms of compute). Returns the final frame and the TOTAL
-    live-ray count across all frames."""
+    live-ray count across all frames.
 
-    def body(f, _):
-        out, rays = render_frame_counted(scene, camera, env, config, f)
-        return out, rays
+    When ``config.samples == 1``, frames additionally POOL into groups
+    (see :func:`render_samples_frames_pooled`): each scan step traces a
+    whole group as one ray pool, then replays the progressive
+    accumulation fold sequentially over the group's per-frame slices —
+    the fold is the exact :func:`finalize_frame` recurrence, so the
+    result is bit-identical to the unpooled scan while small frames stop
+    paying the per-dispatch floor once per frame."""
+    group = _frame_pool_group(config, num_frames)
 
-    out, rays = jax.lax.scan(body, frame, None, length=num_frames)
+    if group <= 1:
+        def body(f, _):
+            out, rays = render_frame_counted(scene, camera, env, config, f)
+            return out, rays
+
+        out, rays = jax.lax.scan(body, frame, None, length=num_frames)
+        return out, jnp.sum(rays)
+
+    def group_body(f, _):
+        color, normal, albedo, position, rays = render_samples_frames_pooled(
+            scene, camera, env, config, f.frame_id, group
+        )
+
+        def fold(fr, slot):
+            c, n, a, p = slot
+            return finalize_frame(camera, config, fr, c, n, a, p), None
+
+        f, _ = jax.lax.scan(fold, f, (color, normal, albedo, position))
+        return f, rays
+
+    out, rays = jax.lax.scan(
+        group_body, frame, None, length=num_frames // group
+    )
     return out, jnp.sum(rays)
 
 
