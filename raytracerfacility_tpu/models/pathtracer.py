@@ -1088,13 +1088,15 @@ def render_samples_frames_pooled(
 def _frame_pool_group(config: RenderConfig, num_frames: int) -> int:
     """Static group size for pooled progressive frames: the largest
     divisor of ``num_frames`` whose pooled ray count stays under the
-    RTF_TPU_FRAME_POOL_RAYS cap (default 4M rays — bounds the packed
-    segmented-engine state and the reorder sort size). 1 disables
-    pooling (multi-spp configs keep the sequential scan: spp already
-    pools into lanes on the fast path)."""
+    RTF_TPU_FRAME_POOL_RAYS cap (default 2M rays — the largest pool the
+    axon remote Mosaic compiler reliably builds: a 4.15M-ray pooled
+    1080p program failed its compile with an opaque HTTP 500 on 6/6
+    attempts on 2026-08-18, while every pool <= 2.1M compiles and runs).
+    1 disables pooling (multi-spp configs keep the sequential scan: spp
+    already pools into lanes on the fast path)."""
     if num_frames <= 1 or config.samples != 1:
         return 1
-    cap = int(os.environ.get("RTF_TPU_FRAME_POOL_RAYS", str(4 * 1024 * 1024)))
+    cap = int(os.environ.get("RTF_TPU_FRAME_POOL_RAYS", str(2 * 1024 * 1024)))
     per_frame = config.height * config.width
     best = 1
     for d in range(1, num_frames + 1):
