@@ -1,0 +1,61 @@
+"""Sequential A/B sweep of segmented-engine knobs on the headline config
+(1080p, 8 bounces, 4 progressive frames), one fresh bench subprocess per
+variant (PERF.md measurement rules: the subprocess fences with a device
+scalar readback and a crashed worker only poisons its own process).
+
+Run: python scripts/sweep_seg.py [--fast]
+Results append to /tmp/sweep_seg.log as they land.
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+VARIANTS = [
+    ("baseline", {}),
+    ("chunk128", {"RTF_TPU_FUSED_CHUNK": "128"}),
+    ("chunk128_sub8", {"RTF_TPU_FUSED_CHUNK": "128",
+                       "RTF_TPU_FUSED_SUB": "8"}),
+    ("rows16", {"RTF_TPU_SEG_ROWS": "16"}),
+]
+
+
+def run(name, env_over):
+    env = dict(os.environ)
+    env.update(env_over)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_rtf")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--single",
+             "1920", "1080", "4"],
+            capture_output=True, text=True, timeout=1700, env=env,
+            cwd=REPO)
+        out = ""
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT"):
+                out = line
+        msg = (f"{name}: {out or 'NO RESULT'} "
+               f"({time.time() - t0:.0f}s) rc={proc.returncode}")
+        if not out:
+            msg += " err=" + (proc.stderr or "")[-200:].replace("\n", " ")
+    except subprocess.TimeoutExpired:
+        msg = f"{name}: TIMEOUT ({time.time() - t0:.0f}s)"
+    print(msg, flush=True)
+    with open("/tmp/sweep_seg.log", "a") as f:
+        f.write(msg + "\n")
+
+
+def main():
+    names = sys.argv[1:] or [n for n, _ in VARIANTS]
+    for name, env_over in VARIANTS:
+        if name in names:
+            run(name, env_over)
+
+
+if __name__ == "__main__":
+    main()
