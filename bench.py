@@ -306,6 +306,31 @@ def main() -> None:
 
     import subprocess
 
+    def chip_reachable(attempts: int = 4, probe_timeout: int = 240) -> bool:
+        """Fast health gate: a trivial fenced op in a fresh subprocess.
+
+        The axon tunnel can wedge for tens of minutes (a killed client
+        leaves the remote worker grinding; observed this round: even
+        backend init hangs). Without this gate a dead chip burns
+        len(RESOLUTIONS) x 2 x 1800 s of subprocess timeouts before the
+        failure line prints. A trivial op completes in seconds when the
+        tunnel is healthy (its compile is sub-second, well under
+        ``probe_timeout`` even remote)."""
+        code = ("import jax, jax.numpy as jnp;"
+                "print('OP_OK', float(jnp.sum(jnp.arange(8.0))))")
+        for i in range(attempts):
+            try:
+                proc = subprocess.run([sys.executable, "-c", code],
+                                      capture_output=True, text=True,
+                                      timeout=probe_timeout)
+                if "OP_OK" in proc.stdout:
+                    return True
+            except subprocess.TimeoutExpired:
+                pass
+            print(f"# chip health probe {i} failed", file=sys.stderr)
+            time.sleep(60)
+        return False
+
     if "--all" in sys.argv:
         # one JSON line per BASELINE config (auxiliary lines first; the
         # headline config-2 line is printed last by the default path)
@@ -328,6 +353,10 @@ def main() -> None:
     value = 0.0
     pairs = 0.0
     label = "none"
+    if not chip_reachable():
+        resolutions = []  # emit the honest failure line without the walk
+        print("# chip unreachable; skipping the resolution walk",
+              file=sys.stderr)
     for width, height in resolutions:
         # Each attempt runs in a fresh process: a crashed TPU worker poisons
         # the client that hit it, and needs a couple of minutes to recover.
