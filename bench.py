@@ -315,23 +315,40 @@ def main() -> None:
         len(RESOLUTIONS) x 2 x 1800 s of subprocess timeouts before the
         failure line prints. A trivial op completes in seconds when the
         tunnel is healthy (its compile is sub-second, well under
-        ``probe_timeout`` even remote)."""
+        ``probe_timeout`` even remote). The probe also reports the
+        backend platform: if the TPU plugin fails to register and JAX
+        silently falls back to CPU, the op would still succeed — that is
+        a FAILED probe (the walk would bench the wrong backend).
+        RTF_BENCH_ALLOW_CPU=1 overrides for local dev runs."""
         code = ("import jax, jax.numpy as jnp;"
-                "print('OP_OK', float(jnp.sum(jnp.arange(8.0))))")
+                "v = float(jnp.sum(jnp.arange(8.0)));"
+                "print('OP_OK', jax.devices()[0].platform, v)")
+        allow_cpu = os.environ.get("RTF_BENCH_ALLOW_CPU") == "1"
         for i in range(attempts):
             try:
                 proc = subprocess.run([sys.executable, "-c", code],
                                       capture_output=True, text=True,
                                       timeout=probe_timeout)
-                if "OP_OK" in proc.stdout:
-                    return True
+                line = next((l for l in proc.stdout.splitlines()
+                             if l.startswith("OP_OK")), "")
+                if line:
+                    platform = line.split()[1]
+                    if platform != "cpu" or allow_cpu:
+                        return True
+                    print(f"# probe ran on platform={platform} "
+                          "(TPU plugin absent?)", file=sys.stderr)
             except subprocess.TimeoutExpired:
                 pass
             print(f"# chip health probe {i} failed", file=sys.stderr)
-            time.sleep(60)
+            if i < attempts - 1:
+                time.sleep(60)
         return False
 
-    if "--all" in sys.argv:
+    # Gate BEFORE any long subprocess work: with a dead chip, --all alone
+    # would burn 4x1800s aux timeouts + run_sharded before the gate fired.
+    chip_ok = chip_reachable()
+
+    if "--all" in sys.argv and chip_ok:
         # one JSON line per BASELINE config (auxiliary lines first; the
         # headline config-2 line is printed last by the default path)
         for which in ("1", "3", "4", "5"):
@@ -353,7 +370,7 @@ def main() -> None:
     value = 0.0
     pairs = 0.0
     label = "none"
-    if not chip_reachable():
+    if not chip_ok:
         resolutions = []  # emit the honest failure line without the walk
         print("# chip unreachable; skipping the resolution walk",
               file=sys.stderr)

@@ -204,6 +204,15 @@ class RayTracerCamera:
 
         check_finite("RenderToCamera", color=self._frame.color,
                      normal=self._frame.normal, albedo=self._frame.albedo)
+        # output switch (ref RayTracer.cu:494-593): NORMAL blits the normal
+        # buffer, ALBEDO the albedo buffer, DEPTH the albedo buffer too
+        # (the raygen repurposes it for depth when outputType == Depth,
+        # ref CameraRendering.cu:135-140 / finalize_frame); COLOR falls
+        # through to the denoiser blend below
+        if self.output_type == OutputType.NORMAL:
+            return np.asarray(self._frame.normal)
+        if self.output_type in (OutputType.ALBEDO, OutputType.DEPTH):
+            return np.asarray(self._frame.albedo)
         # CNN denoise of the COLOR output (the accumulation buffer stays
         # raw, like the reference's separate denoised blit buffer,
         # ref RayTracer.cu:477-556)

@@ -3,7 +3,8 @@
 variant (PERF.md measurement rules: the subprocess fences with a device
 scalar readback and a crashed worker only poisons its own process).
 
-Run: python scripts/sweep_seg.py [--fast]
+Run: python scripts/sweep_seg.py [variant ...]   (default: all VARIANTS)
+Unknown variant names are an error (exit 2), not a silent no-op.
 Results append to /tmp/sweep_seg.log as they land.
 """
 
@@ -51,7 +52,13 @@ def run(name, env_over):
 
 
 def main():
+    known = {n for n, _ in VARIANTS}
     names = sys.argv[1:] or [n for n, _ in VARIANTS]
+    unknown = [n for n in names if n not in known]
+    if unknown:
+        print(f"unknown variant(s): {unknown}; known: {sorted(known)}",
+              file=sys.stderr)
+        sys.exit(2)
     for name, env_over in VARIANTS:
         if name in names:
             run(name, env_over)

@@ -137,6 +137,17 @@ def render_case(name):
         cam.camera.aperture = 0.08
         cam.camera.focal_length = 2.4
         ray = RayProperties(bounces=2, samples=2)
+    elif name.startswith("out_"):
+        # OutputType parity: render() returns the selected buffer
+        # (ref RayTracer.cu:494-593 blits normal / albedo / depth-in-albedo)
+        from raytracerfacility_tpu.enums import OutputType
+
+        cam = _base_cam(build_test_scene())
+        cam.output_type = {"out_normal": OutputType.NORMAL,
+                           "out_albedo": OutputType.ALBEDO,
+                           "out_depth": OutputType.DEPTH}[name]
+        ray = RayProperties(bounces=2, samples=1)
+        frames = 2
     else:
         raise KeyError(name)
     img = None
@@ -146,7 +157,8 @@ def render_case(name):
 
 
 GOLDEN_CASES = ["cornell", "cornell_sls", "textured", "btf", "subsurface",
-                "curves", "nishita", "dof"]
+                "curves", "nishita", "dof", "out_normal", "out_albedo",
+                "out_depth"]
 
 
 @pytest.mark.parametrize("name", GOLDEN_CASES)
