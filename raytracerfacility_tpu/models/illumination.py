@@ -247,10 +247,22 @@ def estimate_illumination(
     return probes.replace(energy=energy, direction=direction)
 
 
-estimate_illumination_jit = jax.jit(
-    estimate_illumination,
-    static_argnames=("config", "push_normal_distance"),
-)
+# engine-selection env knobs are read at trace time, so they ride in the
+# jit cache key (see pathtracer._knob_key for the vacuous-test bug this
+# prevents)
+_estimate_illumination_knobbed = jax.jit(
+    lambda knobs, scene, env, config, probes, seed, push_normal_distance:
+    estimate_illumination(scene, env, config, probes, seed,
+                          push_normal_distance),
+    static_argnums=(0, 3, 6))
+
+
+def estimate_illumination_jit(scene, env, config, probes, seed,
+                              push_normal_distance=1e-3):
+    from raytracerfacility_tpu.models.pathtracer import _knob_key
+
+    return _estimate_illumination_knobbed(_knob_key(), scene, env, config,
+                                          probes, seed, push_normal_distance)
 
 # one fused device reduction (eager per-op dispatch is ~1.5 ms on the
 # benchmark runtime, and Heron's formula alone is ~8 ops)

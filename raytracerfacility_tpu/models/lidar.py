@@ -72,7 +72,19 @@ def scan_point_cloud(
     )
 
 
-scan_point_cloud_jit = jax.jit(scan_point_cloud)
+# knob fingerprint in the cache key: trace_closest's sorted-trace
+# dispatch reads RTF_TPU_* env vars at trace time (see
+# pathtracer._knob_key)
+_scan_point_cloud_knobbed = jax.jit(
+    lambda knobs, scene, start, direction: scan_point_cloud(
+        scene, start, direction),
+    static_argnums=(0,))
+
+
+def scan_point_cloud_jit(scene, start, direction):
+    from raytracerfacility_tpu.models.pathtracer import _knob_key
+
+    return _scan_point_cloud_knobbed(_knob_key(), scene, start, direction)
 
 
 @dataclasses.dataclass

@@ -1162,7 +1162,59 @@ def render_frames_counted(
     return out, jnp.sum(rays)
 
 
-render_frame_jit = jax.jit(render_frame, static_argnames=("config",))
-render_frame_counted_jit = jax.jit(render_frame_counted, static_argnames=("config",))
-render_frames_counted_jit = jax.jit(
-    render_frames_counted, static_argnames=("config", "num_frames"))
+# ---------------------------------------------------------------------------
+# jitted entry points. The engine-selection knobs (RTF_TPU_* env vars) are
+# read INSIDE the traced region (render_pool_sorted etc. read os.environ at
+# trace time), so they must participate in the jit cache key — otherwise a
+# later call with a flipped knob silently reuses the earlier engine's trace
+# (this exact bug made the in-process engine-equivalence tests vacuous:
+# both "engines" ran whichever was traced first). Each public *_jit wrapper
+# reads the knob fingerprint and passes it as a static argument.
+# ---------------------------------------------------------------------------
+
+_KNOB_NAMES = (
+    "RTF_TPU_FUSED", "RTF_TPU_SORTED", "RTF_TPU_SORTED_TRACE",
+    "RTF_TPU_SORT_BLOCK", "RTF_TPU_TRACE_WINDOW", "RTF_TPU_TAIL_FROM",
+    "RTF_TPU_SEG_EVERY", "RTF_TPU_SEG_MBITS", "RTF_TPU_SEG_DBITS",
+    "RTF_TPU_SEG_ROWS", "RTF_TPU_FUSED_ROWS", "RTF_TPU_FUSED_CHUNK",
+    "RTF_TPU_FUSED_SUB", "RTF_TPU_UNROLL", "RTF_TPU_FRAME_POOL_RAYS",
+    "RTF_BTF_BUCKET",
+)
+
+
+def _knob_key() -> tuple:
+    import raytracerfacility_tpu.ops.pallas_seg as _seg
+
+    # BLOCK_ROWS_ENV is monkeypatched directly by tests (module attribute,
+    # not just the env var), so it rides along explicitly
+    return tuple(os.environ.get(k) for k in _KNOB_NAMES) + (
+        _seg.BLOCK_ROWS_ENV,)
+
+
+_render_frame_knobbed = jax.jit(
+    lambda knobs, scene, camera, env, config, frame: render_frame(
+        scene, camera, env, config, frame),
+    static_argnums=(0, 4))
+_render_frame_counted_knobbed = jax.jit(
+    lambda knobs, scene, camera, env, config, frame: render_frame_counted(
+        scene, camera, env, config, frame),
+    static_argnums=(0, 4))
+_render_frames_counted_knobbed = jax.jit(
+    lambda knobs, scene, camera, env, config, frame, num_frames:
+    render_frames_counted(scene, camera, env, config, frame, num_frames),
+    static_argnums=(0, 4, 6))
+
+
+def render_frame_jit(scene, camera, env, config, frame):
+    return _render_frame_knobbed(_knob_key(), scene, camera, env, config,
+                                 frame)
+
+
+def render_frame_counted_jit(scene, camera, env, config, frame):
+    return _render_frame_counted_knobbed(_knob_key(), scene, camera, env,
+                                         config, frame)
+
+
+def render_frames_counted_jit(scene, camera, env, config, frame, num_frames):
+    return _render_frames_counted_knobbed(_knob_key(), scene, camera, env,
+                                          config, frame, num_frames)
