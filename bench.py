@@ -267,6 +267,31 @@ def run_config5() -> dict:
             "seconds": round(dt, 3)}
 
 
+def run_config6() -> dict:
+    """>=1M-triangle instanced canopy, camera render on the streaming
+    engine — the scale-story evidence row (VERDICT r3 item 4): the SMEM
+    window design streams the whole table from HBM, so triangle count is
+    bounded by HBM (80 B/tri), not on-chip memory."""
+    from raytracerfacility_tpu.models.pathtracer import RenderConfig
+    from raytracerfacility_tpu.models.renderer import EnvironmentProperties
+    from raytracerfacility_tpu.ops.camera import CameraProperties
+    from raytracerfacility_tpu.scene.procedural import build_canopy_scene
+
+    rows = cols = 51  # 2601 plants x ~384 tris ~= 1.0M triangles
+    scene = build_canopy_scene(rows=rows, cols=cols)
+    compiled = scene.build()
+    ntris = int(compiled.geometry.num_triangles)
+    cam = CameraProperties(fov=60.0, size=(512, 512))
+    cam.look_at_target((0.0, 6.0, 14.0), (0.0, 1.0, 0.0))
+    config = RenderConfig(width=512, height=512, bounces=2, samples=1,
+                          enable_textures=False, enable_vertex_color=False)
+    mrays = _timed_frames(scene, cam, EnvironmentProperties(), config,
+                          frames=2)
+    return {"metric": "config6_1M_tri_streaming", "value": round(mrays, 3),
+            "unit": "Mrays/s", "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+            "triangles": ntris}
+
+
 def run_sharded() -> dict:
     """Multi-chip scaling audit on the 8-device virtual CPU mesh (the
     TPU-ready sharded path exercised without 8 real chips; wall-clock on
@@ -285,6 +310,51 @@ def run_sharded() -> dict:
             "unit": "ok", "vs_baseline": 1.0 if ok else 0.0}
 
 
+def run_sharded_tpu() -> dict:
+    """REAL-CHIP sharding smoke: a 1-device jax.sharding.Mesh execution of
+    render_frame_sharded + estimate_illumination_sharded on the TPU —
+    catches TPU-only shard_map/Pallas lowering failures that the virtual
+    CPU mesh cannot (the shard_map wraps the same Pallas kernels the
+    single-chip path runs). Wall-clock is irrelevant; lowering + one step
+    executing is the signal."""
+    import subprocess
+
+    code = r"""
+import numpy as np, jax
+from __graft_entry__ import _bench_scene
+from raytracerfacility_tpu.models.pathtracer import RenderConfig, init_frame
+from raytracerfacility_tpu.models.illumination import probes_from_mesh
+from raytracerfacility_tpu.parallel import (
+    make_mesh, render_frame_sharded, estimate_illumination_sharded)
+from raytracerfacility_tpu.scene import make_sphere
+
+devices = jax.devices()[:1]
+scene, cam, env = _bench_scene(64, 64)
+compiled = scene.build()
+mesh = make_mesh(1, tile=1, spp=1, devices=devices)
+config = RenderConfig(width=64, height=64, bounces=2, samples=1,
+                      enable_textures=False, enable_vertex_color=False)
+frame = render_frame_sharded(compiled, cam.state(), env.state(), config,
+                             init_frame(64, 64), mesh)
+assert np.isfinite(np.asarray(frame.color)).all()
+probes = probes_from_mesh(make_sphere(0.4, rings=5, sectors=7),
+                          np.eye(4, dtype=np.float32))
+est = estimate_illumination_sharded(
+    compiled, env.state(), RenderConfig(bounces=2, samples=1), probes,
+    mesh, seed=1)
+assert np.isfinite(np.asarray(est.energy)).all()
+print('SHARDED_TPU_OK', float(np.asarray(frame.color).mean()))
+"""
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, timeout=1700)
+        ok = "SHARDED_TPU_OK" in proc.stdout
+    except subprocess.TimeoutExpired:
+        ok = False
+    return {"metric": "sharded_tpu_1dev", "value": 1.0 if ok else 0.0,
+            "unit": "ok", "vs_baseline": 1.0 if ok else 0.0}
+
+
 def main() -> None:
     if "--single" in sys.argv:
         i = sys.argv.index("--single")
@@ -296,12 +366,16 @@ def main() -> None:
         # subprocess entry for one auxiliary config
         which = sys.argv[sys.argv.index("--config") + 1]
         fn = {"1": run_config1, "3": run_config3, "4": run_config4,
-              "5": run_config5}[which]
+              "5": run_config5, "6": run_config6}[which]
         print("AUX " + json.dumps(fn()))
         return
 
     if "--sharded" in sys.argv:
         print(json.dumps(run_sharded()))
+        return
+
+    if "--sharded-tpu" in sys.argv:
+        print(json.dumps(run_sharded_tpu()))
         return
 
     import subprocess
@@ -350,8 +424,12 @@ def main() -> None:
 
     if "--all" in sys.argv and chip_ok:
         # one JSON line per BASELINE config (auxiliary lines first; the
-        # headline config-2 line is printed last by the default path)
-        for which in ("1", "3", "4", "5"):
+        # headline config-2 line is printed last by the default path).
+        # All lines also land in BENCH_ALL.json so per-round regression
+        # tracking of the non-headline configs is machine-checkable
+        # (VERDICT r3 item 5); copy to BENCH_ALL_r{N}.json when committing.
+        all_lines = []
+        for which in ("1", "3", "4", "5", "6"):
             try:
                 proc = subprocess.run(
                     [sys.executable, __file__, "--config", which],
@@ -359,9 +437,16 @@ def main() -> None:
                 for line in proc.stdout.splitlines():
                     if line.startswith("AUX "):
                         print(line[4:])
+                        all_lines.append(json.loads(line[4:]))
             except subprocess.TimeoutExpired:
                 print(f"# config {which} timed out", file=sys.stderr)
-        print(json.dumps(run_sharded()))
+        for fn in (run_sharded, run_sharded_tpu):
+            row = fn()
+            print(json.dumps(row))
+            all_lines.append(row)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_ALL.json"), "w") as f:
+            json.dump(all_lines, f, indent=1)
 
     quick = "--quick" in sys.argv
     resolutions = RESOLUTIONS[-1:] if quick else RESOLUTIONS

@@ -306,15 +306,21 @@ def _segment(
     env: EnvironmentState,
     config: RenderConfig,
     s: PathState,
+    res: TraceResult | None = None,
 ) -> PathState:
-    """One path segment: trace + shade + continue/terminate."""
-    # terminated lanes trace with a poisoned window (tmax = -3e38): every
-    # slab test culls them, they drop out of the per-tile chunk-cull
-    # bundles (ops/chunk_order.py), and tiles whose lanes all terminated
-    # skip every chunk window outright — compaction-lite without moving
-    # any ray state
-    res = trace_closest(scene, s.origin, s.direction, s.tmin,
-                        jnp.where(s.active, _TMAX, _DEAD_TMAX))
+    """One path segment: trace + shade + continue/terminate. ``res``
+    supplies a precomputed closest-hit result (the sorted-state engine
+    traces its own liveness window and shades through this same code so
+    feature shading — textures, vertex color, alpha, BTF, curves — stays
+    one implementation)."""
+    if res is None:
+        # terminated lanes trace with a poisoned window (tmax = -3e38):
+        # every slab test culls them, they drop out of the per-tile
+        # chunk-cull bundles (ops/chunk_order.py), and tiles whose lanes
+        # all terminated skip every chunk window outright —
+        # compaction-lite without moving any ray state
+        res = trace_closest(scene, s.origin, s.direction, s.tmin,
+                            jnp.where(s.active, _TMAX, _DEAD_TMAX))
     where = jnp.where
 
     # ---- miss: environment radiance (ref MissFunc, RayFunctions.cuh:260-272)
@@ -597,6 +603,206 @@ def trace_radiance(
     return state
 
 
+def sorted_state_dispatch(rays: int, scene: CompiledScene) -> bool:
+    """Should the wavefront segment loop keep its PathState SORTED across
+    segments (one reorder per segment, windowed trace + shade) instead of
+    per-call sort/unsort inside trace_closest? RTF_TPU_SORTED_STATE=1/0
+    forces; unset -> auto for pools big enough that the reorder amortizes
+    (same threshold as the per-trace sort it replaces)."""
+    flag = os.environ.get("RTF_TPU_SORTED_STATE")
+    if flag is not None:
+        return flag == "1"
+    return scene.pallas_tris is not None and rays >= (1 << 15)
+
+
+def _sorted_state_loop(
+    scene: CompiledScene,
+    env: EnvironmentState,
+    config: RenderConfig,
+    state: PathState,
+) -> tuple[PathState, jax.Array]:
+    """The feature-complete segmented engine: the wavefront PathState stays
+    coherence-SORTED and dead-compacted ACROSS segments (one multi-operand
+    ``lax.sort`` per segment instead of trace_closest_sorted's sort+unsort
+    per trace), each segment traces only the smallest static liveness
+    window of the compacted prefix with the streaming Pallas kernel
+    (curve-kind dispatch included, ops/pallas_brute.py), and the full XLA
+    hit shade — textures, vertex color, alpha cutout, BTF decode, BSSRDF,
+    curve normals — runs through :func:`_segment` on that same window.
+
+    This is the per-segment hit-shade hook generalizing the segmented
+    Default-material engine (ops/pallas_seg.py) to the reference's whole
+    in-pipeline feature set (ref RayFunctions.cuh:5-258): in-kernel trace,
+    vectorized XLA shading per segment, windowed to live lanes. Results
+    are BIT-IDENTICAL to the unsorted loop: permutations never change a
+    ray's own arithmetic, the best-hit record is visit-order independent,
+    and the window slices off only lanes whose state cannot change
+    (tests/test_fused.py::test_sorted_state_* ).
+    """
+    import math as _math
+
+    from raytracerfacility_tpu.ops.pallas_brute import _trace
+    from raytracerfacility_tpu.ops.pallas_seg import _morton_key
+
+    shape = state.active.shape
+    r = _math.prod(shape)
+    # flat lane order; pad to a 1024 multiple so the /2 /4 /8 liveness
+    # windows stay block-aligned (the trace kernel re-pads internally)
+    pad = (-r) % 1024
+    rp = r + pad
+
+    def flat(a):
+        a = a.reshape((r,) + a.shape[len(shape):])
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        return a
+
+    state = jax.tree.map(flat, state)
+    state = state.replace(
+        direction=state.direction.at[r:, 2].set(1.0) if pad
+        else state.direction)
+    orig_idx = jnp.arange(rp, dtype=jnp.int32)
+
+    table, sub_aabbs, chunk_aabbs = scene.pallas_tris
+    cvalid = chunk_aabbs[:, 0] < 1e37
+    big = 3.4e38
+    lo = jnp.min(jnp.where(cvalid[:, None], chunk_aabbs[:, 0:3], big), axis=0)
+    hi = jnp.max(jnp.where(cvalid[:, None], chunk_aabbs[:, 3:6], -big), axis=0)
+    inv_extent = 1.0 / jnp.maximum(hi - lo, 1e-6)
+    interpret = jax.default_backend() != "tpu"
+
+    def sort_state(s, idx):
+        # ONE multi-operand sort carrying the whole PathState (the cheap
+        # reorder of PERF.md round 3: the sort network moves payload rows,
+        # a gather does not vectorize); dead lanes key to INT32_MAX and
+        # compact to the tail, active recomputes from the sorted key
+        key = _morton_key(
+            s.origin[:, 0], s.origin[:, 1], s.origin[:, 2],
+            s.direction[:, 0], s.direction[:, 1], s.direction[:, 2],
+            s.active.astype(jnp.float32), lo, inv_extent)
+        f32s = (
+            s.origin[:, 0], s.origin[:, 1], s.origin[:, 2],
+            s.direction[:, 0], s.direction[:, 1], s.direction[:, 2],
+            s.tmin,
+            s.throughput[:, 0], s.throughput[:, 1], s.throughput[:, 2],
+            s.radiance[:, 0], s.radiance[:, 1], s.radiance[:, 2],
+            s.first_normal[:, 0], s.first_normal[:, 1], s.first_normal[:, 2],
+            s.first_albedo[:, 0], s.first_albedo[:, 1], s.first_albedo[:, 2],
+            s.first_position[:, 0], s.first_position[:, 1],
+            s.first_position[:, 2],
+        )
+        i32s = (jax.lax.bitcast_convert_type(s.rng, jnp.int32),
+                s.hit_count, idx)
+        outs = jax.lax.sort((key,) + f32s + i32s, num_keys=1)
+        k = outs[0]
+        v = outs[1:]
+
+        def v3(i):
+            return jnp.stack(v[i:i + 3], axis=-1)
+
+        new = PathState(
+            origin=v3(0), direction=v3(3), tmin=v[6],
+            rng=jax.lax.bitcast_convert_type(v[22], jnp.uint32),
+            throughput=v3(7), radiance=v3(10),
+            hit_count=v[23],
+            active=k != jnp.int32(2147483647),
+            first_normal=v3(13), first_albedo=v3(16), first_position=v3(19),
+        )
+        return new, v[24]
+
+    def seg_window(w):
+        """Trace + shade segment on the first ``w`` lanes; identity on the
+        dead tail (their state cannot change)."""
+
+        def f(st):
+            sub = jax.tree.map(lambda a: a[:w], st)
+            t, prim, u, v = _trace(
+                table, sub_aabbs, chunk_aabbs, sub.origin, sub.direction,
+                sub.tmin,
+                jnp.where(sub.active, _TMAX, _DEAD_TMAX),
+                interpret=interpret)
+            prim_i = prim.astype(jnp.int32)
+            res = TraceResult(t=t, prim=prim_i, u=u, v=v, hit=prim_i >= 0)
+            out = _segment(scene, env, config, sub, res=res)
+            if w == rp:
+                return out
+            return jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b[w:]], axis=0), out, st)
+        return f
+
+    def q(x):  # window sizes quantized to the 1024-lane block
+        return -(-x // 1024) * 1024
+
+    wts = [rp, min(q(rp // 2), rp), min(q(rp // 4), rp),
+           min(q(rp // 8), rp)]
+
+    def run_segment(st, live):
+        if rp < 8 * 1024:
+            return seg_window(rp)(st)
+        return jax.lax.cond(
+            live <= float(wts[3]), seg_window(wts[3]),
+            lambda o: jax.lax.cond(
+                live <= float(wts[2]), seg_window(wts[2]),
+                lambda o2: jax.lax.cond(
+                    live <= float(wts[1]), seg_window(wts[1]),
+                    seg_window(wts[0]), o2),
+                o),
+            st)
+
+    def cond(carry):
+        seg, st, idx, rays = carry
+        return (seg < config.max_segments) & jnp.any(st.active)
+
+    def body(carry):
+        seg, st, idx, rays = carry
+        st, idx = sort_state(st, idx)
+        live = jnp.sum(st.active.astype(jnp.float32))
+        st = run_segment(st, live)
+        return seg + 1, st, idx, rays + live
+
+    _, state, orig_idx, rays = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state, orig_idx, jnp.float32(0.0)))
+
+    # restore original lane order (sort by the carried index IS the
+    # inverse permutation; ~4x cheaper than an XLA scatter, PERF.md)
+    state, _ = sort_state_by_index(state, orig_idx)
+    state = jax.tree.map(
+        lambda a: a[:r].reshape(shape + a.shape[1:]), state)
+    return state, rays
+
+
+def sort_state_by_index(s: PathState, idx) -> tuple[PathState, jax.Array]:
+    """Permute a flat PathState back to ascending ``idx`` order via one
+    multi-operand sort (the unsort step of the sorted-state engine)."""
+    f32s = (
+        s.origin[:, 0], s.origin[:, 1], s.origin[:, 2],
+        s.direction[:, 0], s.direction[:, 1], s.direction[:, 2],
+        s.tmin,
+        s.throughput[:, 0], s.throughput[:, 1], s.throughput[:, 2],
+        s.radiance[:, 0], s.radiance[:, 1], s.radiance[:, 2],
+        s.first_normal[:, 0], s.first_normal[:, 1], s.first_normal[:, 2],
+        s.first_albedo[:, 0], s.first_albedo[:, 1], s.first_albedo[:, 2],
+        s.first_position[:, 0], s.first_position[:, 1],
+        s.first_position[:, 2],
+    )
+    i32s = (jax.lax.bitcast_convert_type(s.rng, jnp.int32), s.hit_count,
+            s.active.astype(jnp.int32))
+    outs = jax.lax.sort((idx,) + f32s + i32s, num_keys=1)
+    v = outs[1:]
+
+    def v3(i):
+        return jnp.stack(v[i:i + 3], axis=-1)
+
+    return PathState(
+        origin=v3(0), direction=v3(3), tmin=v[6],
+        rng=jax.lax.bitcast_convert_type(v[22], jnp.uint32),
+        throughput=v3(7), radiance=v3(10),
+        hit_count=v[23], active=v[24] > 0,
+        first_normal=v3(13), first_albedo=v3(16), first_position=v3(19),
+    ), outs[0]
+
+
 def trace_radiance_counted(
     scene: CompiledScene,
     env: EnvironmentState,
@@ -615,8 +821,13 @@ def trace_radiance_counted(
     renderer) effectively free — the reference's anyhit can reject
     unboundedly many cutout hits in-traversal (ref RayFunctions.cuh:5-23),
     and a wavefront engine can only match that by having segments to
-    spare."""
+    spare. Large pools keep their state sorted across segments instead
+    (:func:`_sorted_state_loop`)."""
+    import math as _math
+
     state = init_path_state(origin, direction, rng, tmin)
+    if sorted_state_dispatch(_math.prod(state.active.shape), scene):
+        return _sorted_state_loop(scene, env, config, state)
 
     def cond(carry):
         seg, state, rays = carry
@@ -1174,6 +1385,7 @@ def render_frames_counted(
 
 _KNOB_NAMES = (
     "RTF_TPU_FUSED", "RTF_TPU_SORTED", "RTF_TPU_SORTED_TRACE",
+    "RTF_TPU_SORTED_STATE",
     "RTF_TPU_SORT_BLOCK", "RTF_TPU_TRACE_WINDOW", "RTF_TPU_TAIL_FROM",
     "RTF_TPU_SEG_EVERY", "RTF_TPU_SEG_MBITS", "RTF_TPU_SEG_DBITS",
     "RTF_TPU_SEG_ROWS", "RTF_TPU_FUSED_ROWS", "RTF_TPU_FUSED_CHUNK",

@@ -219,6 +219,91 @@ def test_sorted_residual_tail_bitexact(monkeypatch, tail_from):
     assert float(np.asarray(frame_n.color).std()) > 0.02
 
 
+def _feature_scene(monkeypatch, size):
+    """A wavefront-engine scene: textured (alpha-testable) + BTF + vertex
+    colors over the bench geometry — the reference's full in-pipeline
+    shading feature set (RayFunctions.cuh:5-258)."""
+    import numpy as np_
+
+    from raytracerfacility_tpu.enums import MaterialType
+    from raytracerfacility_tpu.scene import MaterialProperties
+    from tests.test_golden import _checker_texture
+    from tests.test_mlvq import synthetic_btf
+    import __graft_entry__ as ge
+
+    monkeypatch.setenv("RTF_TPU_PALLAS_BRUTE", "1")
+    scene, cam, env = ge._bench_scene(size, size)
+    scene.upsert_material(
+        51, version=1,
+        properties=MaterialProperties(roughness=0.6, metallic=0.1,
+                                      transmission=0.35),
+        albedo_texture=_checker_texture(),
+    )
+    scene.upsert_material(103, version=1,
+                          material_type=MaterialType.COMPRESSED_BTF,
+                          btf=synthetic_btf(seed=2))
+    return scene.build(), cam.state(), env.state()
+
+
+@pytest.mark.parametrize("size,bounces", [(64, 2), (96, 3)])
+def test_sorted_state_bitexact(monkeypatch, size, bounces):
+    """The sorted-state wavefront engine (PathState sorted + compacted
+    across segments, windowed Pallas trace, windowed XLA hit shade) vs the
+    per-segment loop over the full feature set (textures, alpha cutout,
+    BTF, vertex attrs). Per-ray sequencing (RNG order, accept decisions,
+    live-ray counts) is identical; pixel values agree to the ULP except
+    where the windowed XLA shade's batch shape changes FMA contraction in
+    the texture/BTF fetch math (same caveat as the bucketed BTF decode,
+    tests/test_btf_bucketed.py) — bounded here at <=2% of elements, 1e-6
+    absolute. size=96 pushes the pool past the 8192-lane bar so the
+    liveness-window cascade engages."""
+    compiled, cam, env = _feature_scene(monkeypatch, size)
+    assert compiled.pallas_tris is not None
+    config = RenderConfig(
+        width=size, height=size, bounces=bounces, samples=1,
+        alpha_test=True, alpha_segments=8, enable_btf=True,
+        enable_textures=True, enable_vertex_color=False)
+    monkeypatch.setenv("RTF_TPU_SORTED_STATE", "1")
+    frame_s, rays_s = render_frame_counted_jit(
+        compiled, cam, env, config, init_frame(size, size))
+    monkeypatch.setenv("RTF_TPU_SORTED_STATE", "0")
+    frame_n, rays_n = render_frame_counted_jit(
+        compiled, cam, env, config, init_frame(size, size))
+    for name in ("color", "normal", "albedo"):
+        a = np.asarray(getattr(frame_s, name))
+        b = np.asarray(getattr(frame_n, name))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=2e-6, err_msg=name)
+        frac = float((a != b).mean())
+        assert frac <= 0.02, f"{name}: {frac:.4f} of elements differ"
+    assert float(rays_s) == float(rays_n)
+    assert float(np.asarray(frame_n.color).std()) > 0.02
+
+
+def test_sorted_state_curves_bitexact(monkeypatch):
+    """Strands scenes run the sorted-state engine too (the streaming trace
+    kernel dispatches curve runs in-kernel; shading and the exact-surface
+    refinement run in the windowed XLA shade) — bit-identical to the
+    unsorted wavefront loop. Ref: the reference traces curves in the same
+    hot pipeline via builtin IS modules (RayTracer.cu:1773-1787)."""
+    from tests.test_golden import render_case  # scene recipe reuse
+    from raytracerfacility_tpu.models.renderer import (
+        EnvironmentProperties, RayProperties, RayTracerCamera)
+    import tests.test_golden as tg
+
+    monkeypatch.setenv("RTF_TPU_PALLAS_BRUTE", "1")
+
+    def run(flag):
+        monkeypatch.setenv("RTF_TPU_SORTED_STATE", flag)
+        # the curves golden case at 64x64, 2 bounces (render_case builds
+        # a fresh scene per call; seeds/pose identical)
+        return render_case("curves")
+
+    img_s = run("1")
+    img_n = run("0")
+    np.testing.assert_array_equal(img_s, img_n)
+    assert float(np.asarray(img_n).std()) > 0.01
+
+
 @pytest.mark.parametrize("env_kind", ["cubemap", "skydome"])
 def test_sorted_env_hook_matches_wavefront(monkeypatch, env_kind):
     """Cubemap Scene and Nishita Skydome environments run on the
