@@ -277,7 +277,7 @@ def run_config6() -> dict:
     from raytracerfacility_tpu.ops.camera import CameraProperties
     from raytracerfacility_tpu.scene.procedural import build_canopy_scene
 
-    rows = cols = 51  # 2601 plants x ~384 tris ~= 1.0M triangles
+    rows = cols = 52  # 2704 plants x ~384 tris ~= 1.04M triangles
     scene = build_canopy_scene(rows=rows, cols=cols)
     compiled = scene.build()
     ntris = int(compiled.geometry.num_triangles)

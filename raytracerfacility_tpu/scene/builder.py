@@ -36,6 +36,33 @@ from raytracerfacility_tpu.scene.mesh import Mesh
 from raytracerfacility_tpu.ops.texture import build_texture_stack
 
 
+def _refit_update(cur: tuple, new: tuple, start):
+    """In-place row update of the geometry buffers for one refit group:
+    one contiguous lax.dynamic_update_slice per field, all fields in ONE
+    jitted program (eager per-field ops would pay the tunnel's per-op
+    dispatch + remote-compile-per-shape costs). One compile per distinct
+    group row count (scenes have few)."""
+    import jax
+
+    return tuple(
+        jax.lax.dynamic_update_slice(
+            g, n, (start,) + (0,) * (g.ndim - 1))
+        for g, n in zip(cur, new)
+    )
+
+
+def _refit_update_jit(cur, new, start):
+    import jax
+
+    global _REFIT_JIT
+    if _REFIT_JIT is None:
+        _REFIT_JIT = jax.jit(_refit_update)
+    return _REFIT_JIT(cur, new, start)
+
+
+_REFIT_JIT = None
+
+
 def _transform_points(matrix: np.ndarray, pts: np.ndarray) -> np.ndarray:
     return pts @ matrix[:3, :3].T + matrix[:3, 3]
 
@@ -595,13 +622,59 @@ def build_compiled_scene(
     # parts + their material-slot assignment; a matching key means zero
     # geometry work this build (material-only edits land here)
     ensemble_key = (tuple(part_keys), pad_to_multiple, build_bvh, leaf_size)
+    # refit signature: the part structure with shared-group member
+    # transforms EXCLUDED — when ONLY those transforms changed, the edit
+    # is the reference's IAS-refit case (ref RayTracer.cu:1618-1715) and
+    # the ensemble updates in place: O(changed group) host bake + device
+    # upload (lax.dynamic_update_slice per field — contiguous, since a
+    # group's rows are contiguous in concat order) and a device-side
+    # re-pack of the derived tables from the updated buffers. No host
+    # re-concat and no full-ensemble re-upload (the tunnel moves ~12 MB/s;
+    # a 1M-triangle ensemble is ~180 MB = the actual edit-latency wall).
+    def _part_sig(pk):
+        if len(pk) == 2 and isinstance(pk[1], tuple):  # shared (gkey, wkey)
+            gkey, wkey = pk
+            return ("shared", gkey, wkey[2], wkey[3])
+        return ("leaf",) + pk  # per-part path keys include the transform
+    part_sigs = (tuple(_part_sig(pk) for pk in part_keys),
+                 pad_to_multiple, build_bvh, leaf_size)
+    part_ranges = []
+    _start = 0
+    for p in parts:
+        _n = int(p["v0"].shape[0])
+        part_ranges.append((_start, _n))
+        _start += _n
+
     ens = cache.get("ensemble")
     if ens is not None and ens[0] == ensemble_key:
         geometry = ens[1]["geometry"]
         has_curves = ens[1]["has_curves"]
         num_tris = ens[1]["num_tris"]
+    elif (ens is not None and ens[1].get("part_sigs") == part_sigs):
+        # ---- IAS-refit analog: update the changed groups' rows in place
+        geometry = ens[1]["geometry"]
+        has_curves = ens[1]["has_curves"]
+        num_tris = ens[1]["num_tris"]
+        old_keys = ens[1]["part_keys"]
+        changed = [i for i, pk in enumerate(part_keys) if pk != old_keys[i]]
+        fields = ("v0", "e1", "e2", "normal", "tangent", "tex_coord",
+                  "color", "data")
+        rows_updated = 0
+        for i in changed:
+            start, count = part_ranges[i]
+            rows_updated += count
+            new = tuple(jnp.asarray(parts[i][f]) for f in fields)
+            cur = tuple(getattr(geometry, f) for f in fields)
+            upd = _refit_update_jit(cur, new, jnp.int32(start))
+            geometry = geometry.replace(**dict(zip(fields, upd)))
+        cache["refit_stats"] = {
+            "refit": True, "parts_changed": len(changed),
+            "rows_updated": rows_updated, "total_rows": num_tris,
+        }
+        ens = None  # derived tables rebuild (device-side, zero transfer)
     else:
         ens = None
+        cache.pop("refit_stats", None)
         # host concat + ONE device upload per field: eager per-part device
         # ops would pay tunnel dispatch + remote-compile latency per shape
         merged = {
@@ -709,6 +782,8 @@ def build_compiled_scene(
         cache["ensemble"] = (ensemble_key, dict(
             geometry=geometry, has_curves=has_curves, num_tris=num_tris,
             bvh=bvh, pallas_tris=pallas_tris, fused_geom=None,
+            part_sigs=part_sigs, part_keys=tuple(part_keys),
+            part_ranges=tuple(part_ranges),
         ))
         ens = cache["ensemble"]
 
