@@ -200,13 +200,26 @@ def _lcg(s):
 def _kernel(
     # SMEM-windowed scene tables + full material table
     tris, subs, chunks_ref, mats,
-    # per-tile ray inputs (VMEM planes); in tail mode six more planes
-    # follow valid: carried throughput rgb + carried radiance rgb.
-    # ``rest`` = [tail inputs +] envc + 13 outputs + 40 scratch refs
-    # (a * catch-all would make the scratch params keyword-only, which
-    # pallas passes positionally)
+    # per-tile ray inputs (VMEM planes)
     ox, oy, oz, dx, dy, dz, rng0, valid,
-    *rest,
+    # SMEM scalars: env radiance rgb
+    envc,
+    # outputs (VMEM planes, revisited per tile)
+    o_rr, o_rg, o_rb, o_nx, o_ny, o_nz, o_ar, o_ag, o_ab,
+    o_px, o_py, o_pz, o_cnt,
+    # scratch: path state
+    s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_rng, s_tmin,
+    s_tr, s_tg, s_tb, s_rr, s_rg, s_rb, s_act, s_hc,
+    s_fnx, s_fny, s_fnz, s_far, s_fag, s_fab, s_fpx, s_fpy, s_fpz,
+    # scratch: per-segment best-hit record (b_pid = original prim id of the
+    # best hit, for exact-tie determinism vs pallas_brute / the XLA oracle)
+    b_t, b_nx, b_ny, b_nz, b_mid, b_pid,
+    # scratch: SingleLightSource shadow state (hit pos, sun dir, N.L,
+    # occlusion record); allocated tiny when lighting == 0
+    s_hx, s_hy, s_hz, s_sdx, s_sdy, s_sdz, s_ndl, b_oc,
+    # SMEM scratch: [0] = cumulative live count, [1] = live lanes now
+    live,
+    *,
     bounces: int,
     num_mats: int,
     lighting: int,
@@ -214,34 +227,7 @@ def _kernel(
     unroll: int,
     chunk: int,
     sub: int,
-    hc0: int = 0,
 ):
-    # scratch refs (fixed trailing 40)
-    (s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_rng, s_tmin,
-     s_tr, s_tg, s_tb, s_rr, s_rg, s_rb, s_act, s_hc,
-     s_fnx, s_fny, s_fnz, s_far, s_fag, s_fab, s_fpx, s_fpy, s_fpz,
-     # per-segment best-hit record (b_pid = original prim id of the best
-     # hit, for exact-tie determinism vs pallas_brute / the XLA oracle)
-     b_t, b_nx, b_ny, b_nz, b_mid, b_pid,
-     # SingleLightSource shadow state (hit pos, sun dir, N.L, occlusion
-     # record); allocated tiny when lighting == 0
-     s_hx, s_hy, s_hz, s_sdx, s_sdy, s_sdz, s_ndl, b_oc,
-     # SMEM: [0] = cumulative live count, [1] = live lanes now
-     live) = rest[-40:]
-    rest = rest[:-40]
-    # tail mode (hc0 > 0): this call CONTINUES paths the segmented engine
-    # started — every live lane has made exactly hc0 hits (the pallas_seg
-    # invariant), so throughput/radiance ride in as inputs and the
-    # first-hit AOV writes are naturally dead (hc starts > 0)
-    tail = hc0 > 0
-    if tail:
-        (i_tr, i_tg, i_tb, i_rr, i_rg, i_rb, envc,
-         o_rr, o_rg, o_rb, o_nx, o_ny, o_nz, o_ar, o_ag, o_ab,
-         o_px, o_py, o_pz, o_cnt) = rest
-    else:
-        (envc,
-         o_rr, o_rg, o_rb, o_nx, o_ny, o_nz, o_ar, o_ag, o_ab,
-         o_px, o_py, o_pz, o_cnt) = rest
     s = pl.program_id(1)
     c = pl.program_id(2)
     nseg = pl.num_programs(1)
@@ -259,17 +245,16 @@ def _kernel(
         zero = jnp.zeros_like(ox[...])
         one = zero + 1.0
         # envc[10] = primary-ray tmin (0 for camera rays; probe pools use
-        # the estimator's 1e-3 offset, ref IlluminationEstimation.cu:63);
-        # tail segments are bounce segments by construction
-        s_tmin[...] = zero + (_BOUNCE_TMIN if tail else envc[10])
-        s_tr[...] = i_tr[...] if tail else one
-        s_tg[...] = i_tg[...] if tail else one
-        s_tb[...] = i_tb[...] if tail else one
-        s_rr[...] = i_rr[...] if tail else zero
-        s_rg[...] = i_rg[...] if tail else zero
-        s_rb[...] = i_rb[...] if tail else zero
+        # the estimator's 1e-3 offset, ref IlluminationEstimation.cu:63)
+        s_tmin[...] = zero + envc[10]
+        s_tr[...] = one
+        s_tg[...] = one
+        s_tb[...] = one
+        s_rr[...] = zero
+        s_rg[...] = zero
+        s_rb[...] = zero
         s_act[...] = valid[...]
-        s_hc[...] = zero + float(hc0)
+        s_hc[...] = zero
         s_fnx[...] = zero
         s_fny[...] = zero
         s_fnz[...] = zero
@@ -879,72 +864,6 @@ def _render_pool(table, sub_aabbs, chunk_aabbs, mat_table, origin, direction,
     position = unplane3(*outs[9:12])
     count = jnp.sum(outs[12])
     return radiance, normal, albedo, position, count
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("bounces", "hc0", "rows", "block_rows", "interpret",
-                     "chunk"),
-)
-def _render_pool_tail(table, sub_aabbs, chunk_aabbs, mat_table, state,
-                      env_vec, bounces: int, hc0: int, rows: int,
-                      block_rows: int, interpret: bool = False,
-                      chunk: int = TRI_CHUNK):
-    """Residual-tail fused call: run path segments hc0..bounces as ONE
-    pallas grid over an already-compacted planar ray window.
-
-    ``state`` is the segmented engine's 14-plane tuple (pallas_seg); the
-    kernel seeds throughput/radiance/RNG/act from it instead of the
-    fresh-path constants, so per-ray arithmetic continues the exact
-    reference recurrence (RayFunctions.cuh:152-171) — bit-identical to
-    running the remaining per-segment calls (tests/test_fused.py).
-    Flat-color Scene environment only (the in-kernel miss branch).
-    Returns (rr, rg, rb planes, live-ray count across tail segments)."""
-    tiles = rows // block_rows
-    nseg = bounces - hc0 + 1
-    nchunks = table.shape[0] // chunk
-    sub = table.shape[0] // sub_aabbs.shape[0]
-    grid = (tiles, nseg, nchunks)
-
-    (ox, oy, oz, dx, dy, dz, rng_i, act,
-     tr, tg, tb, rr, rg, rb) = state
-
-    ray_spec = pl.BlockSpec((block_rows, _LANES), lambda i, s, c: (i, 0))
-    tri_spec = pl.BlockSpec((chunk, _COLS),
-                            lambda i, s, c: (c % nchunks, 0),
-                            memory_space=pltpu.SMEM)
-    sub_spec = pl.BlockSpec((chunk // sub, 8),
-                            lambda i, s, c: (c % nchunks, 0),
-                            memory_space=pltpu.SMEM)
-    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-
-    plane_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
-    scratch_plane = pltpu.VMEM((block_rows, _LANES), jnp.float32)
-    sls_plane = pltpu.VMEM((8, _LANES), jnp.float32)
-    scratch = [scratch_plane] * 6 + [
-        pltpu.VMEM((block_rows, _LANES), jnp.int32)
-    ] + [scratch_plane] * 18 + [scratch_plane] * 6 + [sls_plane] * 8 + [
-        pltpu.SMEM((2,), jnp.float32)
-    ]
-
-    kernel = functools.partial(_kernel, bounces=bounces,
-                               num_mats=int(mat_table.shape[0]),
-                               lighting=0, nchunks=nchunks,
-                               unroll=resolve_unroll(interpret, sub),
-                               chunk=chunk, sub=sub, hc0=hc0)
-    outs = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=(tri_spec, sub_spec, smem_spec, smem_spec)
-        + (ray_spec,) * 14 + (smem_spec,),
-        out_specs=(ray_spec,) * 13,
-        out_shape=(plane_shape,) * 13,
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(table, sub_aabbs, chunk_aabbs, mat_table,
-      ox, oy, oz, dx, dy, dz, rng_i, act, tr, tg, tb, rr, rg, rb,
-      env_vec)
-    return outs[0], outs[1], outs[2], jnp.sum(outs[12])
 
 
 def render_pool_fused(

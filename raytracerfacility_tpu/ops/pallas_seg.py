@@ -121,13 +121,6 @@ SORT_BLOCK_DEFAULT = "0"
 # is bit-identical). Read at call time (render_pool_sorted) and passed
 # as a static arg so tests/sweeps can flip it per call.
 TRACE_WINDOW_DEFAULT = "1"
-# residual fused tail (RTF_TPU_TAIL_FROM=k): from bounce segment k on,
-# run the remaining path segments as ONE fused pallas grid
-# (pallas_fused._render_pool_tail) on the compacted live window instead
-# of per-segment (reorder, chunk_order, trace) calls — late segments are
-# low-liveness, so the per-segment sort + dispatch machinery costs more
-# than the coherence it buys there. 0 disables. Read at call time.
-TAIL_FROM_DEFAULT = "0"
 
 
 def _kernel(
@@ -571,7 +564,7 @@ def _morton_key(ox, oy, oz, dx, dy, dz, act, lo, inv_extent):
     jax.jit,
     static_argnames=("bounces", "presort", "interpret", "lighting_type",
                      "atmos_samples", "atmos_samples_light", "sort_block",
-                     "chunk", "trace_window", "tail_from"))
+                     "chunk", "trace_window"))
 def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         direction, rng, valid, env_vec, bounces: int,
                         presort: bool = False, interpret: bool = False,
@@ -579,7 +572,7 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         atmos_samples: int = 16,
                         atmos_samples_light: int = 8,
                         sort_block: int = 0, chunk: int = TRI_CHUNK,
-                        trace_window: bool = True, tail_from: int = 0):
+                        trace_window: bool = True):
     r = origin.shape[0]
     block_rows = _pick_block_rows((r + _LANES - 1) // _LANES)
     block = block_rows * _LANES
@@ -801,59 +794,8 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                 o),
             st)
 
-    def tail_window(wt, hc0):
-        """Residual tail (pallas_fused._render_pool_tail) on the first
-        ``wt`` tiles: segments hc0..bounces as ONE fused grid — no
-        per-segment reorder / chunk_order / dispatch for the low-liveness
-        path tail. Identity on the dead rows below the window."""
-        from raytracerfacility_tpu.ops.pallas_fused import _render_pool_tail
-
-        wr = wt * block_rows
-
-        def f(st):
-            sub = st if wr == rows else tuple(p[:wr] for p in st)
-            rr, rg, rb, cnt = _render_pool_tail(
-                table, sub_aabbs, chunk_aabbs, mat_table, sub, env_vec,
-                bounces=bounces, hc0=hc0, rows=wr, block_rows=block_rows,
-                interpret=interpret, chunk=chunk)
-            if wr != rows:
-                rr = jnp.concatenate([rr, st[11][wr:]], axis=0)
-                rg = jnp.concatenate([rg, st[12][wr:]], axis=0)
-                rb = jnp.concatenate([rb, st[13][wr:]], axis=0)
-            return rr, rg, rb, cnt
-        return f
-
-    def run_tail(st, extent, hc0):
-        if extent is None or not trace_window or tiles < 8:
-            return tail_window(tiles, hc0)(st)
-        wts = [tiles, -(-tiles // 2), -(-tiles // 4), -(-tiles // 8)]
-        cover = [float(w * block_rows * _LANES) for w in wts]
-        return jax.lax.cond(
-            extent <= cover[3], tail_window(wts[3], hc0),
-            lambda o: jax.lax.cond(
-                extent <= cover[2], tail_window(wts[2], hc0),
-                lambda o2: jax.lax.cond(
-                    extent <= cover[1], tail_window(wts[1], hc0),
-                    tail_window(wts[0], hc0), o2),
-                o),
-            st)
-
-    # the residual tail replaces segments tail_from..bounces when the
-    # in-kernel flat-env miss shade applies (xla_env pools keep the
-    # per-segment loop: the tail has no per-segment miss hook)
-    use_tail = (0 < tail_from < bounces) and not xla_env
-
     for s in range(1, bounces + 1):
         sorted_now = (s - 1) % REORDER_EVERY == 0
-        if use_tail and s == tail_from:
-            # compact + group once, then fuse the whole remaining path
-            state, orig_idx = reorder(state, orig_idx,
-                                      prev_live=prefix_live)
-            prefix_live = jnp.sum(state[7])
-            rr, rg, rb, tail_live = run_tail(state, prefix_live, s)
-            state = state[:11] + (rr, rg, rb)
-            total_live = total_live + tail_live
-            break
         if sorted_now:
             state, orig_idx = reorder(state, orig_idx,
                                       prev_live=prefix_live)
@@ -925,8 +867,6 @@ def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
         chunk=int(chunk),
         trace_window=os.environ.get("RTF_TPU_TRACE_WINDOW",
                                     TRACE_WINDOW_DEFAULT) == "1",
-        tail_from=int(os.environ.get("RTF_TPU_TAIL_FROM",
-                                     TAIL_FROM_DEFAULT)),
     )
 
 

@@ -22,13 +22,12 @@ VARIANTS = [
                        "RTF_TPU_FUSED_SUB": "8"}),
     ("sub8", {"RTF_TPU_FUSED_SUB": "8"}),
     ("rows16", {"RTF_TPU_SEG_ROWS": "16"}),
-    # residual fused tail: segments k..8 as one fused grid on the
-    # compacted live window (pallas_fused._render_pool_tail)
-    ("tail2", {"RTF_TPU_TAIL_FROM": "2"}),
-    ("tail3", {"RTF_TPU_TAIL_FROM": "3"}),
-    ("tail4", {"RTF_TPU_TAIL_FROM": "4"}),
-    ("tail5", {"RTF_TPU_TAIL_FROM": "5"}),
-    ("tail6", {"RTF_TPU_TAIL_FROM": "6"}),
+    ("rows8", {"RTF_TPU_SEG_ROWS": "8"}),
+    ("rows16_sub8", {"RTF_TPU_SEG_ROWS": "16", "RTF_TPU_FUSED_SUB": "8"}),
+    ("rows16_chunk128", {"RTF_TPU_SEG_ROWS": "16",
+                         "RTF_TPU_FUSED_CHUNK": "128"}),
+    ("mbits3", {"RTF_TPU_SEG_MBITS": "3"}),
+    ("mbits5_rows16", {"RTF_TPU_SEG_MBITS": "5", "RTF_TPU_SEG_ROWS": "16"}),
 ]
 
 

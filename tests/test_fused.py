@@ -187,38 +187,6 @@ def test_sorted_trace_window_bitexact(monkeypatch, env_hook):
     assert float(np.asarray(frame_n.color).std()) > 0.02
 
 
-@pytest.mark.parametrize("tail_from", [1, 2, 3])
-def test_sorted_residual_tail_bitexact(monkeypatch, tail_from):
-    """The residual fused tail (segments tail_from..bounces as ONE fused
-    pallas grid on the compacted window, pallas_fused._render_pool_tail)
-    must be BIT-IDENTICAL to the per-segment loop: the tail kernel seeds
-    throughput/radiance/RNG from the carried state and runs the exact
-    same per-ray recurrence, and permutation/windowing never change a
-    ray's own arithmetic."""
-    from raytracerfacility_tpu.ops import pallas_seg
-
-    compiled_f, cam, env = _scene("1", monkeypatch)
-    config = RenderConfig(
-        width=48, height=48, bounces=4, samples=1,
-        enable_textures=False, enable_vertex_color=False,
-        samples_in_lanes=True)
-    monkeypatch.setenv("RTF_TPU_SORTED", "1")
-    # small pool -> many tiny tiles so the tail's window cascade engages
-    monkeypatch.setattr(pallas_seg, "BLOCK_ROWS_ENV", "2")
-    monkeypatch.setenv("RTF_TPU_TAIL_FROM", str(tail_from))
-    frame_t, rays_t = render_frame_counted_jit(
-        compiled_f, cam, env, config, init_frame(48, 48))
-    monkeypatch.setenv("RTF_TPU_TAIL_FROM", "0")
-    frame_n, rays_n = render_frame_counted_jit(
-        compiled_f, cam, env, config, init_frame(48, 48))
-    for name in ("color", "normal", "albedo"):
-        np.testing.assert_array_equal(
-            np.asarray(getattr(frame_t, name)),
-            np.asarray(getattr(frame_n, name)), err_msg=name)
-    assert float(rays_t) == float(rays_n)
-    assert float(np.asarray(frame_n.color).std()) > 0.02
-
-
 def _feature_scene(monkeypatch, size):
     """A wavefront-engine scene: textured (alpha-testable) + BTF + vertex
     colors over the bench geometry — the reference's full in-pipeline
