@@ -121,6 +121,18 @@ SORT_BLOCK_DEFAULT = "0"
 # is bit-identical). Read at call time (render_pool_sorted) and passed
 # as a static arg so tests/sweeps can flip it per call.
 TRACE_WINDOW_DEFAULT = "1"
+# ROW-GROUP culling granularity (RTF_TPU_SEG_GROUP, rows per group; 0 =
+# whole-tile culling, the round-3 behavior): the kernel's trace body
+# runs per (group_rows, 128) row group with its own chunk/sub culling
+# conds — a third culling level between the tile and the sub-run that
+# captures most of the small-tile win without extra grid steps or window
+# DMA (probe_visited.py measured tile-granular culling at 5-15x the
+# per-ray ideal; 16-row kernel tiles fail the remote Mosaic compile at
+# 1080p). Read at call time. DEFAULT 0: at 1080p the grouped kernel's
+# program size (groups x fully-unrolled tri loops) SIGABRTs the remote
+# Mosaic compiler; smaller-unroll group variants are measured in
+# PERF.md's round-4 ledger.
+SEG_GROUP_DEFAULT = "0"
 
 
 def _kernel(
@@ -139,6 +151,7 @@ def _kernel(
     unroll: int,
     chunk: int,
     sub: int,
+    group_rows: int,
 ):
     (o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_rng, o_act,
      o_tr, o_tg, o_tb, o_rr, o_rg, o_rb) = refs[:14]
@@ -192,10 +205,10 @@ def _kernel(
 
     any_live = (live[0] > 0.0) & do_step
 
-    @pl.when(any_live)
-    def _trace_chunk():
-        o_x, o_y, o_z = i_ox[...], i_oy[...], i_oz[...]
-        d_x, d_y, d_z = i_dx[...], i_dy[...], i_dz[...]
+    def _trace_chunk_group(sl):
+        o_x, o_y, o_z = i_ox[sl, :], i_oy[sl, :], i_oz[sl, :]
+        d_x, d_y, d_z = i_dx[sl, :], i_dy[sl, :], i_dz[sl, :]
+        tmin_g = tmin_v[sl, :]
         eps = 1e-20
         ivx = 1.0 / jnp.where(jnp.abs(d_x) < eps,
                               jnp.where(d_x < 0, -eps, eps), d_x)
@@ -230,7 +243,7 @@ def _kernel(
             # independent, the invariant the reorder relies on)
             ok = (
                 ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t > tmin_v) & ((t < bt) | ((t == bt) & (jf < bpid)))
+                & (t > tmin_g) & ((t < bt) | ((t == bt) & (jf < bpid)))
             )
             return (
                 jnp.where(ok, t, bt),
@@ -254,7 +267,7 @@ def _kernel(
             far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                           jnp.maximum(t1y, t2y)),
                               jnp.maximum(t1z, t2z))
-            return (near <= far) & (far > tmin_v) & (near <= bt)
+            return (near <= far) & (far > tmin_g) & (near <= bt)
 
         def sub_body(si, carry):
             enter = slab(subs[si, 0], subs[si, 1], subs[si, 2],
@@ -269,8 +282,8 @@ def _kernel(
 
             return jax.lax.cond(jnp.any(enter), run, lambda b: b, carry)
 
-        carry = (b_t[...], b_nx[...], b_ny[...], b_nz[...], b_mid[...],
-                 b_pid[...])
+        carry = (b_t[sl, :], b_nx[sl, :], b_ny[sl, :], b_nz[sl, :],
+                 b_mid[sl, :], b_pid[sl, :])
         entered = slab(chunks_ref[cc, 0], chunks_ref[cc, 1], chunks_ref[cc, 2],
                        chunks_ref[cc, 3], chunks_ref[cc, 4], chunks_ref[cc, 5],
                        carry[0])
@@ -279,12 +292,28 @@ def _kernel(
             return jax.lax.fori_loop(0, chunk // sub, sub_body, b)
 
         carry = jax.lax.cond(jnp.any(entered), run_chunk, lambda b: b, carry)
-        b_t[...] = carry[0]
-        b_nx[...] = carry[1]
-        b_ny[...] = carry[2]
-        b_nz[...] = carry[3]
-        b_mid[...] = carry[4]
-        b_pid[...] = carry[5]
+        b_t[sl, :] = carry[0]
+        b_nx[sl, :] = carry[1]
+        b_ny[sl, :] = carry[2]
+        b_nz[sl, :] = carry[3]
+        b_mid[sl, :] = carry[4]
+        b_pid[sl, :] = carry[5]
+
+    @pl.when(any_live)
+    def _trace_chunk():
+        # ROW-GROUP culling (round 4, the third culling level): the tile's
+        # trace body runs as ``block_rows // group_rows`` independent
+        # row-group passes, each with its OWN chunk/sub-run culling conds
+        # over just its (group_rows, 128) lanes. Sorted rays are ordered,
+        # so a 1024-lane group is a much tighter bundle than the 4096-lane
+        # tile (probe_visited.py: tile-granular culling visits 5-15x the
+        # per-ray ideal) — this captures most of the small-tile win
+        # WITHOUT extra grid steps or window DMA (16-row kernel tiles
+        # also fail the remote Mosaic compile at 1080p outright). Same
+        # per-lane arithmetic, same accept/tie rules: bit-identical.
+        gr = group_rows if 0 < group_rows < block_rows else block_rows
+        for g in range(block_rows // gr):
+            _trace_chunk_group(slice(g * gr, (g + 1) * gr))
 
     @pl.when(c == nchunks - 1)
     def _shade():
@@ -424,12 +453,13 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("is_first", "has_cont", "xla_env", "rows",
-                     "block_rows", "interpret", "chunk"),
+                     "block_rows", "interpret", "chunk", "group_rows"),
 )
 def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
                   skip, state, is_first: bool, has_cont: bool, rows: int,
                   interpret: bool, xla_env: bool = False,
-                  block_rows: int = 64, chunk: int = TRI_CHUNK):
+                  block_rows: int = 64, chunk: int = TRI_CHUNK,
+                  group_rows: int = 0):
     """One trace+shade segment over planar state ((rows, 128) planes).
 
     ``state`` = (ox, oy, oz, dx, dy, dz, rng(i32), act, tr, tg, tb,
@@ -478,7 +508,7 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
         _kernel, is_first=is_first, has_cont=has_cont, xla_env=xla_env,
         num_mats=int(mat_table.shape[0]), nchunks=nchunks,
         block_rows=block_rows, unroll=resolve_unroll(interpret, sub),
-        chunk=chunk, sub=sub,
+        chunk=chunk, sub=sub, group_rows=group_rows,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -564,7 +594,7 @@ def _morton_key(ox, oy, oz, dx, dy, dz, act, lo, inv_extent):
     jax.jit,
     static_argnames=("bounces", "presort", "interpret", "lighting_type",
                      "atmos_samples", "atmos_samples_light", "sort_block",
-                     "chunk", "trace_window"))
+                     "chunk", "trace_window", "group_rows"))
 def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         direction, rng, valid, env_vec, bounces: int,
                         presort: bool = False, interpret: bool = False,
@@ -572,7 +602,7 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         atmos_samples: int = 16,
                         atmos_samples_light: int = 8,
                         sort_block: int = 0, chunk: int = TRI_CHUNK,
-                        trace_window: bool = True):
+                        trace_window: bool = True, group_rows: int = 0):
     r = origin.shape[0]
     block_rows = _pick_block_rows((r + _LANES - 1) // _LANES)
     block = block_rows * _LANES
@@ -731,7 +761,7 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
         table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order, skip,
         state, is_first=True, has_cont=bounces >= 1, rows=rows,
         interpret=interpret, xla_env=xla_env, block_rows=block_rows,
-        chunk=chunk)
+        chunk=chunk, group_rows=group_rows)
     total_live = live0
     if xla_env:
         state, light, m = add_env(state, prev, miss)
@@ -767,7 +797,8 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                 table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
                 skip, sub, is_first=False, has_cont=has_cont, rows=wr,
                 interpret=interpret, xla_env=xla_env,
-                block_rows=block_rows, chunk=chunk)
+                block_rows=block_rows, chunk=chunk,
+                group_rows=group_rows)
             if xla_env:
                 out, _, _ = add_env(out, sub, miss, n=wr * _LANES)
             if wr == rows:
@@ -867,6 +898,8 @@ def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
         chunk=int(chunk),
         trace_window=os.environ.get("RTF_TPU_TRACE_WINDOW",
                                     TRACE_WINDOW_DEFAULT) == "1",
+        group_rows=int(os.environ.get("RTF_TPU_SEG_GROUP",
+                                      SEG_GROUP_DEFAULT)),
     )
 
 

@@ -27,7 +27,22 @@ VARIANTS = [
     ("rows16_chunk128", {"RTF_TPU_SEG_ROWS": "16",
                          "RTF_TPU_FUSED_CHUNK": "128"}),
     ("mbits3", {"RTF_TPU_SEG_MBITS": "3"}),
-    ("mbits5_rows16", {"RTF_TPU_SEG_MBITS": "5", "RTF_TPU_SEG_ROWS": "16"}),
+    ("mbits5", {"RTF_TPU_SEG_MBITS": "5"}),
+    ("every2", {"RTF_TPU_SEG_EVERY": "2"}),
+    # row-group culling granularity (default is 8 since round 4)
+    ("group0", {"RTF_TPU_SEG_GROUP": "0"}),
+    ("group4", {"RTF_TPU_SEG_GROUP": "4"}),
+    ("group16", {"RTF_TPU_SEG_GROUP": "16"}),
+    ("group8_mbits5", {"RTF_TPU_SEG_GROUP": "8",
+                       "RTF_TPU_SEG_MBITS": "5"}),
+    ("group8_dbits1", {"RTF_TPU_SEG_GROUP": "8",
+                       "RTF_TPU_SEG_DBITS": "1"}),
+    # program-size-reduced row-group variants (group8 full-unroll
+    # SIGABRTs the remote Mosaic compiler at 1080p: 4 groups x 16-wide
+    # unrolled tri loops)
+    ("group8_sub8", {"RTF_TPU_SEG_GROUP": "8", "RTF_TPU_FUSED_SUB": "8"}),
+    ("group8_unroll8", {"RTF_TPU_SEG_GROUP": "8", "RTF_TPU_UNROLL": "8"}),
+    ("group16_unroll8", {"RTF_TPU_SEG_GROUP": "16", "RTF_TPU_UNROLL": "8"}),
 ]
 
 

@@ -187,6 +187,36 @@ def test_sorted_trace_window_bitexact(monkeypatch, env_hook):
     assert float(np.asarray(frame_n.color).std()) > 0.02
 
 
+def test_row_group_culling_bitexact(monkeypatch):
+    """Row-group culling (the third culling level: per-(group_rows, 128)
+    chunk/sub conds inside the tile) must be BIT-IDENTICAL to whole-tile
+    culling: per-lane arithmetic, accept windows, and tie rules are
+    unchanged — only which lanes SKIP provably-missed runs differs, and
+    skipped runs cannot contain an acceptable hit for those lanes."""
+    from raytracerfacility_tpu.ops import pallas_seg
+
+    compiled_f, cam, env = _scene("1", monkeypatch)
+    config = RenderConfig(
+        width=48, height=48, bounces=4, samples=1,
+        enable_textures=False, enable_vertex_color=False,
+        samples_in_lanes=True)
+    monkeypatch.setenv("RTF_TPU_SORTED", "1")
+    # 18 rows at block_rows=4 -> group 2 splits each tile in halves
+    monkeypatch.setattr(pallas_seg, "BLOCK_ROWS_ENV", "4")
+    monkeypatch.setenv("RTF_TPU_SEG_GROUP", "2")
+    frame_g, rays_g = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(48, 48))
+    monkeypatch.setenv("RTF_TPU_SEG_GROUP", "0")
+    frame_n, rays_n = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(48, 48))
+    for name in ("color", "normal", "albedo"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(frame_g, name)),
+            np.asarray(getattr(frame_n, name)), err_msg=name)
+    assert float(rays_g) == float(rays_n)
+    assert float(np.asarray(frame_n.color).std()) > 0.02
+
+
 def _feature_scene(monkeypatch, size):
     """A wavefront-engine scene: textured (alpha-testable) + BTF + vertex
     colors over the bench geometry — the reference's full in-pipeline
