@@ -205,9 +205,11 @@ def _kernel(
 
     any_live = (live[0] > 0.0) & do_step
 
-    def _trace_chunk_group(sl):
-        o_x, o_y, o_z = i_ox[sl, :], i_oy[sl, :], i_oz[sl, :]
-        d_x, d_y, d_z = i_dx[sl, :], i_dy[sl, :], i_dz[sl, :]
+    def _trace_chunk_group(sl, rays, carry_in):
+        # rays/carries are VALUE slices of the full planes (sliced VMEM
+        # *ref* accesses at sublane offsets SIGABRT the remote Mosaic
+        # compiler; register-level slices legalize)
+        o_x, o_y, o_z, d_x, d_y, d_z = rays
         tmin_g = tmin_v[sl, :]
         eps = 1e-20
         ivx = 1.0 / jnp.where(jnp.abs(d_x) < eps,
@@ -282,8 +284,7 @@ def _kernel(
 
             return jax.lax.cond(jnp.any(enter), run, lambda b: b, carry)
 
-        carry = (b_t[sl, :], b_nx[sl, :], b_ny[sl, :], b_nz[sl, :],
-                 b_mid[sl, :], b_pid[sl, :])
+        carry = carry_in
         entered = slab(chunks_ref[cc, 0], chunks_ref[cc, 1], chunks_ref[cc, 2],
                        chunks_ref[cc, 3], chunks_ref[cc, 4], chunks_ref[cc, 5],
                        carry[0])
@@ -291,13 +292,7 @@ def _kernel(
         def run_chunk(b):
             return jax.lax.fori_loop(0, chunk // sub, sub_body, b)
 
-        carry = jax.lax.cond(jnp.any(entered), run_chunk, lambda b: b, carry)
-        b_t[sl, :] = carry[0]
-        b_nx[sl, :] = carry[1]
-        b_ny[sl, :] = carry[2]
-        b_nz[sl, :] = carry[3]
-        b_mid[sl, :] = carry[4]
-        b_pid[sl, :] = carry[5]
+        return jax.lax.cond(jnp.any(entered), run_chunk, lambda b: b, carry)
 
     @pl.when(any_live)
     def _trace_chunk():
@@ -312,8 +307,31 @@ def _kernel(
         # also fail the remote Mosaic compile at 1080p outright). Same
         # per-lane arithmetic, same accept/tie rules: bit-identical.
         gr = group_rows if 0 < group_rows < block_rows else block_rows
-        for g in range(block_rows // gr):
-            _trace_chunk_group(slice(g * gr, (g + 1) * gr))
+        full_rays = (i_ox[...], i_oy[...], i_oz[...],
+                     i_dx[...], i_dy[...], i_dz[...])
+        full_carry = (b_t[...], b_nx[...], b_ny[...], b_nz[...],
+                      b_mid[...], b_pid[...])
+        if gr == block_rows:
+            out = _trace_chunk_group(slice(0, block_rows), full_rays,
+                                     full_carry)
+            outs = [out]
+        else:
+            outs = []
+            for g in range(block_rows // gr):
+                sl = slice(g * gr, (g + 1) * gr)
+                outs.append(_trace_chunk_group(
+                    sl, tuple(p[sl] for p in full_rays),
+                    tuple(p[sl] for p in full_carry)))
+        merged = tuple(
+            outs[0][i] if len(outs) == 1
+            else jnp.concatenate([o[i] for o in outs], axis=0)
+            for i in range(6))
+        b_t[...] = merged[0]
+        b_nx[...] = merged[1]
+        b_ny[...] = merged[2]
+        b_nz[...] = merged[3]
+        b_mid[...] = merged[4]
+        b_pid[...] = merged[5]
 
     @pl.when(c == nchunks - 1)
     def _shade():

@@ -31,6 +31,7 @@ VARIANTS = [
     ("every2", {"RTF_TPU_SEG_EVERY": "2"}),
     # row-group culling granularity (default is 8 since round 4)
     ("group0", {"RTF_TPU_SEG_GROUP": "0"}),
+    ("group8", {"RTF_TPU_SEG_GROUP": "8"}),
     ("group4", {"RTF_TPU_SEG_GROUP": "4"}),
     ("group16", {"RTF_TPU_SEG_GROUP": "16"}),
     ("group8_mbits5", {"RTF_TPU_SEG_GROUP": "8",
