@@ -185,11 +185,11 @@ def _kernel(
 
     # this segment's trace tmin (ref: camera rays start at envc[10] —
     # 0 for the camera, the estimator's 1e-3 probe offset for pools —
-    # and bounce rays at the fixed 1e-3 self-intersection offset)
-    if is_first:
-        tmin_v = jnp.zeros((block_rows, _LANES), jnp.float32) + envc[10]
-    else:
-        tmin_v = jnp.zeros((block_rows, _LANES), jnp.float32) + _BOUNCE_TMIN
+    # and bounce rays at the fixed 1e-3 self-intersection offset).
+    # Kept SCALAR here: the grouped trace broadcasts it per row group
+    # (slicing a plane broadcast from an SMEM scalar SIGABRTs the remote
+    # Mosaic compiler in the is_first variant — scripts/probe_group2.py)
+    tmin_s = envc[10] if is_first else _BOUNCE_TMIN
 
     @pl.when(c == 0)
     def _segment_start():
@@ -205,12 +205,12 @@ def _kernel(
 
     any_live = (live[0] > 0.0) & do_step
 
-    def _trace_chunk_group(sl, rays, carry_in):
+    def _trace_chunk_group(rays, carry_in):
         # rays/carries are VALUE slices of the full planes (sliced VMEM
         # *ref* accesses at sublane offsets SIGABRT the remote Mosaic
         # compiler; register-level slices legalize)
         o_x, o_y, o_z, d_x, d_y, d_z = rays
-        tmin_g = tmin_v[sl, :]
+        tmin_g = jnp.zeros_like(o_x) + tmin_s
         eps = 1e-20
         ivx = 1.0 / jnp.where(jnp.abs(d_x) < eps,
                               jnp.where(d_x < 0, -eps, eps), d_x)
@@ -312,15 +312,13 @@ def _kernel(
         full_carry = (b_t[...], b_nx[...], b_ny[...], b_nz[...],
                       b_mid[...], b_pid[...])
         if gr == block_rows:
-            out = _trace_chunk_group(slice(0, block_rows), full_rays,
-                                     full_carry)
-            outs = [out]
+            outs = [_trace_chunk_group(full_rays, full_carry)]
         else:
             outs = []
             for g in range(block_rows // gr):
                 sl = slice(g * gr, (g + 1) * gr)
                 outs.append(_trace_chunk_group(
-                    sl, tuple(p[sl] for p in full_rays),
+                    tuple(p[sl] for p in full_rays),
                     tuple(p[sl] for p in full_carry)))
         merged = tuple(
             outs[0][i] if len(outs) == 1
