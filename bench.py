@@ -292,6 +292,67 @@ def run_config6() -> dict:
             "triangles": ntris}
 
 
+def run_config7() -> dict:
+    """Strands scene (hair tuft of cubic B-spline strands over a ground
+    plane) on the sorted-state fast path — the curves bench row (VERDICT
+    r3 item 3). The reference traces curves in its one hot pipeline via
+    builtin IS modules (RayTracer.cu:1773-1787); here curve runs dispatch
+    in-kernel by kind (ops/pallas_brute.py) and the wavefront PathState
+    stays coherence-sorted across segments (models/pathtracer.py
+    ::_sorted_state_loop, bit-identical to the unsorted loop —
+    tests/test_fused.py::test_sorted_state_curves_bitexact)."""
+    import numpy as np
+
+    from raytracerfacility_tpu.enums import GeometryType, RendererType
+    from raytracerfacility_tpu.models.pathtracer import RenderConfig
+    from raytracerfacility_tpu.models.renderer import EnvironmentProperties
+    from raytracerfacility_tpu.ops.camera import CameraProperties
+    from raytracerfacility_tpu.scene import (
+        MaterialProperties, RayTracerScene, make_plane)
+
+    rng = np.random.default_rng(7)
+    n_strands = 800
+    points, segments = [], []
+    for _ in range(n_strands):
+        root = np.array([rng.normal(0, 0.25), 0.0, rng.normal(0, 0.25)],
+                        np.float32)
+        sway = rng.normal(0, 0.12, size=2)
+        # 4 control points: root -> drooping tip (one cubic segment each,
+        # 6 swept sub-segments after subdivision)
+        ctrl = [root,
+                root + [sway[0] * 0.3, 0.45, sway[1] * 0.3],
+                root + [sway[0] * 0.8, 0.85, sway[1] * 0.8],
+                root + [sway[0] * 1.4, 1.0 + rng.normal(0, 0.1),
+                        sway[1] * 1.4]]
+        radii = (0.012, 0.009, 0.006, 0.003)
+        segments.append(len(points))
+        for p, r in zip(ctrl, radii):
+            points.append([*p, r, 0.35, 0.25, 0.12, 1.0])
+    scene = RayTracerScene()
+    scene.upsert_geometry(
+        1, version=0, renderer_type=RendererType.CURVE,
+        geometry_type=GeometryType.CUBIC_BSPLINE,
+        strand_points=np.asarray(points, np.float32),
+        curve_segments=np.asarray(segments, np.int32))
+    scene.upsert_material(2, version=0, properties=MaterialProperties(
+        albedo_color=(0.35, 0.25, 0.12), roughness=0.9, metallic=0.0))
+    scene.upsert_instance(3, version=0, geometry=1, material=2)
+    scene.upsert_geometry(4, version=0, mesh=make_plane(4.0))
+    scene.upsert_material(5, version=0, properties=MaterialProperties(
+        albedo_color=(0.55, 0.55, 0.55), roughness=1.0, metallic=0.0))
+    scene.upsert_instance(6, version=0, geometry=4, material=5)
+    cam = CameraProperties(fov=50.0, size=(512, 512))
+    cam.look_at_target((0.0, 0.9, 2.4), (0.0, 0.55, 0.0))
+    config = RenderConfig(width=512, height=512, bounces=2, samples=1,
+                          enable_textures=False, enable_vertex_color=False)
+    compiled = scene.build()
+    nprims = int(compiled.geometry.num_triangles)
+    mrays = _timed_frames(scene, cam, EnvironmentProperties(), config)
+    return {"metric": "config7_strands_hair_tuft", "value": round(mrays, 3),
+            "unit": "Mrays/s", "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+            "curve_prims": nprims}
+
+
 def run_sharded() -> dict:
     """Multi-chip scaling audit on the 8-device virtual CPU mesh (the
     TPU-ready sharded path exercised without 8 real chips; wall-clock on
@@ -366,7 +427,7 @@ def main() -> None:
         # subprocess entry for one auxiliary config
         which = sys.argv[sys.argv.index("--config") + 1]
         fn = {"1": run_config1, "3": run_config3, "4": run_config4,
-              "5": run_config5, "6": run_config6}[which]
+              "5": run_config5, "6": run_config6, "7": run_config7}[which]
         print("AUX " + json.dumps(fn()))
         return
 
@@ -429,7 +490,7 @@ def main() -> None:
         # tracking of the non-headline configs is machine-checkable
         # (VERDICT r3 item 5); copy to BENCH_ALL_r{N}.json when committing.
         all_lines = []
-        for which in ("1", "3", "4", "5", "6"):
+        for which in ("1", "3", "4", "5", "6", "7"):
             try:
                 proc = subprocess.run(
                     [sys.executable, __file__, "--config", which],
