@@ -29,21 +29,14 @@ VARIANTS = [
     ("mbits3", {"RTF_TPU_SEG_MBITS": "3"}),
     ("mbits5", {"RTF_TPU_SEG_MBITS": "5"}),
     ("every2", {"RTF_TPU_SEG_EVERY": "2"}),
-    # row-group culling granularity (default is 8 since round 4)
+    # row-group culling granularity (default 0 = whole tile; measured
+    # round 4 at the headline: 16/8/4 = 29.6/24.6/16.6 vs 31.0 — the
+    # per-group cond + any-reduce overhead loses on coherent camera
+    # pools, PERF.md. Knob kept for incoherent pools: sweep_config4.py)
     ("group0", {"RTF_TPU_SEG_GROUP": "0"}),
     ("group8", {"RTF_TPU_SEG_GROUP": "8"}),
     ("group4", {"RTF_TPU_SEG_GROUP": "4"}),
     ("group16", {"RTF_TPU_SEG_GROUP": "16"}),
-    ("group8_mbits5", {"RTF_TPU_SEG_GROUP": "8",
-                       "RTF_TPU_SEG_MBITS": "5"}),
-    ("group8_dbits1", {"RTF_TPU_SEG_GROUP": "8",
-                       "RTF_TPU_SEG_DBITS": "1"}),
-    # program-size-reduced row-group variants (group8 full-unroll
-    # SIGABRTs the remote Mosaic compiler at 1080p: 4 groups x 16-wide
-    # unrolled tri loops)
-    ("group8_sub8", {"RTF_TPU_SEG_GROUP": "8", "RTF_TPU_FUSED_SUB": "8"}),
-    ("group8_unroll8", {"RTF_TPU_SEG_GROUP": "8", "RTF_TPU_UNROLL": "8"}),
-    ("group16_unroll8", {"RTF_TPU_SEG_GROUP": "16", "RTF_TPU_UNROLL": "8"}),
 ]
 
 
