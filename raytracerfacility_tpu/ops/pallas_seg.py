@@ -127,12 +127,31 @@ TRACE_WINDOW_DEFAULT = "1"
 # conds — a third culling level between the tile and the sub-run that
 # captures most of the small-tile win without extra grid steps or window
 # DMA (probe_visited.py measured tile-granular culling at 5-15x the
-# per-ray ideal; 16-row kernel tiles fail the remote Mosaic compile at
-# 1080p). Read at call time. DEFAULT 0: at 1080p the grouped kernel's
-# program size (groups x fully-unrolled tri loops) SIGABRTs the remote
-# Mosaic compiler; smaller-unroll group variants are measured in
-# PERF.md's round-4 ledger.
+# per-ray ideal). Read at call time. DEFAULT 0: measured a MONOTONIC
+# loss at the 1080p headline (31.0 whole-tile → 29.6/24.6/16.6 at
+# 16/8/4-row groups, PERF.md round-4 ledger) — the per-group any-reduce
+# + cond scalar overhead beats the visited-pair savings on coherent
+# camera pools. Kept for incoherent pools (scripts/sweep_config4.py).
 SEG_GROUP_DEFAULT = "0"
+# BLOCK-PERMUTATION reorder (RTF_TPU_SEG_BPERM, rows per block; 0 = the
+# XLA multi-operand-sort reorder): between segments, instead of sorting
+# all 15 state planes (~17-21 ms full / ~91 ms per frame at 1080p,
+# scripts/profile_seg_frame.py), permute the pool at BLOCK granularity —
+# one block key (min of the live rays' Morton keys) per (bperm, 128)
+# block, an argsort over just nblocks elements, and ONE Pallas pass
+# whose input BlockSpec index map reads the permutation from a
+# scalar-prefetch arg, so the "reorder" is pure sequential-write DMA
+# (~250 MB of HBM traffic at 2M rays ≈ 1-3 ms) instead of a sort
+# network. Rays never migrate BETWEEN blocks, so within-block coherence
+# is whatever the last full sort (or camera raster order) left — the
+# culling quality trade is measured in PERF.md. All-dead blocks key to
+# INT32_MAX and sort to the tail, so the live extent stays a block
+# prefix and the liveness-windowed trace grid keeps working.
+# RTF_TPU_SEG_BPERM_FROM picks the first bounce segment that uses the
+# block permutation (default 1 = every in-loop reorder; e.g. 3 keeps
+# exact per-ray sorts for the two highest-liveness reorders).
+BPERM_DEFAULT = "0"
+BPERM_FROM_DEFAULT = "1"
 
 
 def _kernel(
@@ -606,11 +625,37 @@ def _morton_key(ox, oy, oz, dx, dy, dz, act, lo, inv_extent):
     return jnp.where(act > 0.0, key, jnp.int32(2147483647))
 
 
+def _apply_block_perm(perm, planes, brows: int, interpret: bool):
+    """Permute (rows, 128) planes at (brows, 128)-block granularity in ONE
+    Pallas pass: the input BlockSpec index map reads the target block id
+    from the scalar-prefetch ``perm`` (the same mechanism the trace kernel
+    uses for its per-tile chunk windows), outputs write sequentially — the
+    whole reorder is straight DMA, no sort network, no gather."""
+    rows = planes[0].shape[0]
+    nblocks = rows // brows
+    n = len(planes)
+
+    def kern(perm_ref, *refs):
+        del perm_ref
+        for i in range(n):
+            refs[n + i][...] = refs[i][...]
+
+    in_spec = pl.BlockSpec((brows, _LANES), lambda b, p: (p[b], 0))
+    out_spec = pl.BlockSpec((brows, _LANES), lambda b, p: (b, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(nblocks,),
+        in_specs=[in_spec] * n, out_specs=[out_spec] * n)
+    out_shape = tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in planes)
+    return pl.pallas_call(kern, grid_spec=grid_spec, out_shape=out_shape,
+                          interpret=interpret)(perm, *planes)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("bounces", "presort", "interpret", "lighting_type",
                      "atmos_samples", "atmos_samples_light", "sort_block",
-                     "chunk", "trace_window", "group_rows"))
+                     "chunk", "trace_window", "group_rows", "bperm_rows",
+                     "bperm_from"))
 def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         direction, rng, valid, env_vec, bounces: int,
                         presort: bool = False, interpret: bool = False,
@@ -618,7 +663,8 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         atmos_samples: int = 16,
                         atmos_samples_light: int = 8,
                         sort_block: int = 0, chunk: int = TRI_CHUNK,
-                        trace_window: bool = True, group_rows: int = 0):
+                        trace_window: bool = True, group_rows: int = 0,
+                        bperm_rows: int = 0, bperm_from: int = 1):
     r = origin.shape[0]
     block_rows = _pick_block_rows((r + _LANES - 1) // _LANES)
     block = block_rows * _LANES
@@ -733,6 +779,31 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
         state = (*p6, rng_p, act, *rest)
         return state, plane(outs[14].reshape(rp))
 
+    def reorder_bperm(state, orig_idx):
+        # BLOCK-granular permutation (see BPERM_DEFAULT note): block key =
+        # min of its rays' Morton keys (all-dead blocks key to INT32_MAX
+        # and land at the tail, preserving the block-prefix liveness
+        # property the trace window needs), argsort over nblocks scalars,
+        # then ONE scalar-prefetch DMA pass moves all 15 planes. Any
+        # permutation is bit-identically correct: a ray's own arithmetic
+        # never depends on its lane, and the best-hit record is
+        # visit-order independent — only tile grouping (culling quality)
+        # changes. Returns the block-prefix live extent in rays for the
+        # trace-window cascade (live rays are NOT lane-compacted here, so
+        # the extent counts not-all-dead BLOCKS, not live rays).
+        key = _morton_key(state[0], state[1], state[2],
+                          state[3], state[4], state[5], state[7],
+                          lo, inv_extent)
+        nblocks = rows // bperm_rows
+        bkeys = jnp.min(key.reshape(nblocks, bperm_rows * _LANES), axis=1)
+        perm = jnp.argsort(bkeys).astype(jnp.int32)
+        outs = _apply_block_perm(perm, list(state) + [orig_idx],
+                                 bperm_rows, interpret)
+        live_blocks = jnp.sum((bkeys != jnp.int32(2147483647)).astype(
+            jnp.float32))
+        extent = live_blocks * float(bperm_rows * _LANES)
+        return tuple(outs[:14]), outs[14], extent
+
     xla_env = env_state is not None
 
     def add_env(state, prev, miss, n=None):
@@ -843,12 +914,19 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
 
     for s in range(1, bounces + 1):
         sorted_now = (s - 1) % REORDER_EVERY == 0
-        if sorted_now:
+        use_bperm = (bperm_rows > 0 and s >= bperm_from
+                     and rows % bperm_rows == 0)
+        if sorted_now and use_bperm:
+            state, orig_idx, extent = reorder_bperm(state, orig_idx)
+        elif sorted_now:
             state, orig_idx = reorder(state, orig_idx,
                                       prev_live=prefix_live)
         live_s = jnp.sum(state[7])
         if sorted_now:
-            prefix_live = live_s
+            # after a full sort live rays form an exact lane prefix; after
+            # a block permutation only a BLOCK prefix — the window cascade
+            # compares in rays either way
+            prefix_live = extent if use_bperm else live_s
         state = run_bounce(state, prefix_live, has_cont=s < bounces)
         total_live = total_live + live_s
 
@@ -916,6 +994,9 @@ def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
                                     TRACE_WINDOW_DEFAULT) == "1",
         group_rows=int(os.environ.get("RTF_TPU_SEG_GROUP",
                                       SEG_GROUP_DEFAULT)),
+        bperm_rows=int(os.environ.get("RTF_TPU_SEG_BPERM", BPERM_DEFAULT)),
+        bperm_from=int(os.environ.get("RTF_TPU_SEG_BPERM_FROM",
+                                      BPERM_FROM_DEFAULT)),
     )
 
 

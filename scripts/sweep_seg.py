@@ -37,6 +37,15 @@ VARIANTS = [
     ("group8", {"RTF_TPU_SEG_GROUP": "8"}),
     ("group4", {"RTF_TPU_SEG_GROUP": "4"}),
     ("group16", {"RTF_TPU_SEG_GROUP": "16"}),
+    # block-permutation reorder (RTF_TPU_SEG_BPERM = rows/block; _FROM =
+    # first bounce segment that uses it, earlier ones keep the exact sort)
+    ("bperm8", {"RTF_TPU_SEG_BPERM": "8"}),
+    ("bperm16", {"RTF_TPU_SEG_BPERM": "16"}),
+    ("bperm4", {"RTF_TPU_SEG_BPERM": "4"}),
+    ("bperm8_from3", {"RTF_TPU_SEG_BPERM": "8",
+                      "RTF_TPU_SEG_BPERM_FROM": "3"}),
+    ("bperm8_from4", {"RTF_TPU_SEG_BPERM": "8",
+                      "RTF_TPU_SEG_BPERM_FROM": "4"}),
 ]
 
 

@@ -217,6 +217,38 @@ def test_row_group_culling_bitexact(monkeypatch):
     assert float(np.asarray(frame_n.color).std()) > 0.02
 
 
+def test_block_perm_reorder_bitexact(monkeypatch):
+    """The block-permutation reorder (RTF_TPU_SEG_BPERM: per-block min-key
+    argsort + one scalar-prefetch DMA pass instead of the 15-plane XLA
+    sort) must be BIT-IDENTICAL to the sort reorder: any permutation of
+    lanes is correct (a ray's arithmetic never depends on its lane, the
+    best-hit record is visit-order independent, and the final unsort
+    restores original order), and the block-prefix trace window covers
+    every not-all-dead block, so no live lane is ever sliced off."""
+    from raytracerfacility_tpu.ops import pallas_seg
+
+    compiled_f, cam, env = _scene("1", monkeypatch)
+    config = RenderConfig(
+        width=48, height=48, bounces=4, samples=1,
+        enable_textures=False, enable_vertex_color=False,
+        samples_in_lanes=True)
+    monkeypatch.setenv("RTF_TPU_SORTED", "1")
+    # 20 rows at block_rows=4 -> 10 two-row permutation blocks, 5 tiles
+    monkeypatch.setattr(pallas_seg, "BLOCK_ROWS_ENV", "4")
+    monkeypatch.setenv("RTF_TPU_SEG_BPERM", "2")
+    frame_b, rays_b = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(48, 48))
+    monkeypatch.setenv("RTF_TPU_SEG_BPERM", "0")
+    frame_n, rays_n = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(48, 48))
+    for name in ("color", "normal", "albedo"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(frame_b, name)),
+            np.asarray(getattr(frame_n, name)), err_msg=name)
+    assert float(rays_b) == float(rays_n)
+    assert float(np.asarray(frame_n.color).std()) > 0.02
+
+
 def _feature_scene(monkeypatch, size):
     """A wavefront-engine scene: textured (alpha-testable) + BTF + vertex
     colors over the bench geometry — the reference's full in-pipeline
