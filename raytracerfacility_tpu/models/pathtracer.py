@@ -909,6 +909,56 @@ def sorted_env_compatible(scene: CompiledScene, env: EnvironmentState,
     )
 
 
+def _tiled_pixel_coords(height: int, width: int, tile_rays: int):
+    """Flat pixel coordinates in TILED order: consecutive ``tile_rays``-ray
+    runs cover a square-ish (th, tw) pixel block instead of a raster strip.
+
+    A segmented-engine kernel tile holds ``block_rows * 128`` consecutive
+    pool rays; its chunk culling builds a frustum from the tile's origin
+    AND direction ranges (ops/chunk_order.py). In raster order a 4096-ray
+    tile is ~2 scanlines — its direction x-range spans the full horizontal
+    FOV, so segment-0 frusta are nearly the whole view frustum (measured
+    6.9/11 chunks visited per tile at 1080p). A 64x64-pixel block's
+    direction cone is ~(64/W x 64/H) of the FOV instead. Pure index
+    arithmetic on arange — no gather; out-of-image coordinates (from
+    rounding H, W up to whole blocks) return valid=0 (dead lanes the
+    engine compacts away at the first reorder). The raster layout is
+    restored by a reshape/transpose (an XLA tiled copy, not a gather).
+    """
+    th = 1
+    while th * th < tile_rays:
+        th *= 2
+    tw = tile_rays // th  # 4096 -> 64x64, 2048 -> 64x32
+    n_tx = -(-width // tw)
+    n_ty = -(-height // th)
+    j = jnp.arange(n_ty * n_tx * th * tw, dtype=jnp.int32)
+    tile, w_in = j // (th * tw), j % (th * tw)
+    ty, tx = tile // n_tx, tile % n_tx
+    u, v = w_in // tw, w_in % tw
+    py = ty * th + u
+    px = tx * tw + v
+    valid = ((px < width) & (py < height)).astype(jnp.float32)
+    # clamp the dead coordinates so pixel ids / NDC math stay in-range
+    pxc = jnp.minimum(px, width - 1)
+    pyc = jnp.minimum(py, height - 1)
+    pixel_index = (pxc + width * pyc).astype(jnp.uint32)
+    return (pxc.astype(jnp.float32), pyc.astype(jnp.float32), pixel_index,
+            valid, (n_ty, n_tx, th, tw))
+
+
+def _untile(a, slots, height, width, tiling):
+    """Inverse of the tiled flat order: (slots*N, 3) -> (slots, H, W, 3)."""
+    n_ty, n_tx, th, tw = tiling
+    a = a.reshape(slots, n_ty, n_tx, th, tw, 3)
+    a = jnp.transpose(a, (0, 1, 3, 2, 4, 5))
+    return a.reshape(slots, n_ty * th, n_tx * tw, 3)[:, :height, :width]
+
+
+def tiled_raygen_enabled() -> bool:
+    """RTF_TPU_TILED_RAYGEN=0 restores raster-order pools (A/B knob)."""
+    return os.environ.get("RTF_TPU_TILED_RAYGEN", "1") == "1"
+
+
 def _pool_fused_slots(
     scene, camera, env, config, ix, iy_global, pixel_index, seed,
     height, width, slot_count,
@@ -982,19 +1032,51 @@ def _pool_fused_slots(
         kwargs = {"lighting": 1 if sls else 0}
     if chunk:
         kwargs["chunk"] = chunk
+
+    tiling = None
+    if (pool_fn is render_pool_sorted and tiled_raygen_enabled()
+            and height == config.height and width == config.width):
+        # tiled-order pool (see _tiled_pixel_coords): same rays, same
+        # per-pixel RNG streams — bit-identical pixels, tighter segment-0
+        # tile frusta. Skipped for sharded slabs (height != full image).
+        from raytracerfacility_tpu.ops.pallas_seg import _pick_block_rows
+
+        rows_est = -(-n_rays // 128)
+        tile_rays = _pick_block_rows(rows_est) * 128
+        ix_t, iy_t, pix_t, valid_t, tiling = _tiled_pixel_coords(
+            height, width, tile_rays)
+        np_t = ix_t.shape[0]
+        rng = lcg_init(
+            jnp.broadcast_to(pix_t, (sample_count, np_t)),
+            jnp.broadcast_to(seed.reshape(sample_count, 1),
+                             (sample_count, np_t)),
+        )
+        rng, origin, direction = generate_camera_rays(
+            camera, rng, ix_t[None], iy_t[None], width, config.height
+        )
+        n_rays = sample_count * np_t
+        valid = jnp.broadcast_to(valid_t[None],
+                                 (sample_count, np_t)).reshape(n_rays)
+    else:
+        valid = jnp.ones((n_rays,), jnp.float32)
+
     radiance, normal, albedo, position, rays = pool_fn(
         tables,
         origin.reshape(n_rays, 3),
         direction.reshape(n_rays, 3),
         rng.reshape(n_rays),
-        jnp.ones((n_rays,), jnp.float32),
+        valid,
         env_arg,
         bounces=config.bounces,
         **kwargs,
     )
 
-    def unflatten(a):
-        return a.reshape(sample_count, height, width, 3)
+    if tiling is not None:
+        def unflatten(a):
+            return _untile(a, sample_count, height, width, tiling)
+    else:
+        def unflatten(a):
+            return a.reshape(sample_count, height, width, 3)
 
     return (
         unflatten(radiance),
@@ -1389,6 +1471,7 @@ _KNOB_NAMES = (
     "RTF_TPU_SORT_BLOCK", "RTF_TPU_TRACE_WINDOW",
     "RTF_TPU_SEG_EVERY", "RTF_TPU_SEG_MBITS", "RTF_TPU_SEG_DBITS",
     "RTF_TPU_SEG_GROUP", "RTF_TPU_SEG_BPERM", "RTF_TPU_SEG_BPERM_FROM",
+    "RTF_TPU_SEG_BPERM_EXACT", "RTF_TPU_TILED_RAYGEN",
     "RTF_TPU_SEG_ROWS", "RTF_TPU_FUSED_ROWS", "RTF_TPU_FUSED_CHUNK",
     "RTF_TPU_FUSED_SUB", "RTF_TPU_UNROLL", "RTF_TPU_FRAME_POOL_RAYS",
     "RTF_BTF_BUCKET",

@@ -152,6 +152,16 @@ SEG_GROUP_DEFAULT = "0"
 # exact per-ray sorts for the two highest-liveness reorders).
 BPERM_DEFAULT = "0"
 BPERM_FROM_DEFAULT = "1"
+# RTF_TPU_SEG_BPERM_EXACT=k (with BPERM on): every k-th reorder in the
+# bperm region runs the EXACT windowed multi-operand sort instead — it
+# re-compacts dead lanes and restores per-ray Morton order, resetting
+# the within-block divergence that block-granular permutation
+# accumulates (rays never migrate between blocks, so tile frusta widen
+# as paths scatter). 0 = never (pure bperm after BPERM_FROM). Any mix
+# of the two reorders is bit-identical to either alone: both are
+# permutations, a ray's arithmetic never depends on its lane, and the
+# final unsort restores original order.
+BPERM_EXACT_DEFAULT = "0"
 
 
 def _kernel(
@@ -655,7 +665,7 @@ def _apply_block_perm(perm, planes, brows: int, interpret: bool):
     static_argnames=("bounces", "presort", "interpret", "lighting_type",
                      "atmos_samples", "atmos_samples_light", "sort_block",
                      "chunk", "trace_window", "group_rows", "bperm_rows",
-                     "bperm_from"))
+                     "bperm_from", "bperm_exact"))
 def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         direction, rng, valid, env_vec, bounces: int,
                         presort: bool = False, interpret: bool = False,
@@ -664,7 +674,8 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         atmos_samples_light: int = 8,
                         sort_block: int = 0, chunk: int = TRI_CHUNK,
                         trace_window: bool = True, group_rows: int = 0,
-                        bperm_rows: int = 0, bperm_from: int = 1):
+                        bperm_rows: int = 0, bperm_from: int = 1,
+                        bperm_exact: int = 0):
     r = origin.shape[0]
     block_rows = _pick_block_rows((r + _LANES - 1) // _LANES)
     block = block_rows * _LANES
@@ -916,6 +927,14 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
         sorted_now = (s - 1) % REORDER_EVERY == 0
         use_bperm = (bperm_rows > 0 and s >= bperm_from
                      and rows % bperm_rows == 0)
+        if use_bperm and bperm_exact > 0 and (
+                (s - bperm_from) % bperm_exact == bperm_exact - 1):
+            # periodic exact re-sort inside the bperm region: re-compacts
+            # lanes and resets within-block divergence (see
+            # BPERM_EXACT_DEFAULT). prefix_live after bperm segments is a
+            # block-granular UPPER BOUND on the live extent, which is all
+            # the sort-window cascade needs.
+            use_bperm = False
         if sorted_now and use_bperm:
             state, orig_idx, extent = reorder_bperm(state, orig_idx)
         elif sorted_now:
@@ -997,6 +1016,8 @@ def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
         bperm_rows=int(os.environ.get("RTF_TPU_SEG_BPERM", BPERM_DEFAULT)),
         bperm_from=int(os.environ.get("RTF_TPU_SEG_BPERM_FROM",
                                       BPERM_FROM_DEFAULT)),
+        bperm_exact=int(os.environ.get("RTF_TPU_SEG_BPERM_EXACT",
+                                       BPERM_EXACT_DEFAULT)),
     )
 
 

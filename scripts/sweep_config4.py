@@ -26,6 +26,7 @@ VARIANTS = [
     ("mbits5", {"RTF_TPU_SEG_MBITS": "5"}),
     ("chunk128", {"RTF_TPU_FUSED_CHUNK": "128"}),
     ("sub8", {"RTF_TPU_FUSED_SUB": "8"}),
+    ("bperm8", {"RTF_TPU_SEG_BPERM": "8"}),
 ]
 
 

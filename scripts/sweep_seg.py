@@ -46,6 +46,14 @@ VARIANTS = [
                       "RTF_TPU_SEG_BPERM_FROM": "3"}),
     ("bperm8_from4", {"RTF_TPU_SEG_BPERM": "8",
                       "RTF_TPU_SEG_BPERM_FROM": "4"}),
+    # hybrid: every k-th reorder in the bperm region is the exact
+    # compacting sort (resets within-block divergence, RTF_TPU_SEG_BPERM_EXACT)
+    ("bperm8_exact2", {"RTF_TPU_SEG_BPERM": "8",
+                       "RTF_TPU_SEG_BPERM_EXACT": "2"}),
+    ("bperm8_exact3", {"RTF_TPU_SEG_BPERM": "8",
+                       "RTF_TPU_SEG_BPERM_EXACT": "3"}),
+    ("bperm8_exact4", {"RTF_TPU_SEG_BPERM": "8",
+                       "RTF_TPU_SEG_BPERM_EXACT": "4"}),
 ]
 
 

@@ -217,6 +217,34 @@ def test_row_group_culling_bitexact(monkeypatch):
     assert float(np.asarray(frame_n.color).std()) > 0.02
 
 
+def test_tiled_raygen_bitexact(monkeypatch):
+    """Tiled-order camera pools (RTF_TPU_TILED_RAYGEN: consecutive kernel
+    tiles cover square pixel blocks instead of raster strips, tightening
+    segment-0 frusta) must be BIT-IDENTICAL to raster order: every pixel
+    keeps its reference RNG stream (seeded by raster pixel id), a ray's
+    arithmetic never depends on its pool position, and the inverse is a
+    reshape/transpose. Out-of-image block padding enters dead (valid=0)
+    and must not change the live-ray count."""
+    compiled_f, cam, env = _scene("1", monkeypatch)
+    config = RenderConfig(
+        width=48, height=48, bounces=4, samples=1,
+        enable_textures=False, enable_vertex_color=False,
+        samples_in_lanes=True)
+    monkeypatch.setenv("RTF_TPU_SORTED", "1")
+    monkeypatch.setenv("RTF_TPU_TILED_RAYGEN", "1")
+    frame_t, rays_t = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(48, 48))
+    monkeypatch.setenv("RTF_TPU_TILED_RAYGEN", "0")
+    frame_r, rays_r = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(48, 48))
+    for name in ("color", "normal", "albedo"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(frame_t, name)),
+            np.asarray(getattr(frame_r, name)), err_msg=name)
+    assert float(rays_t) == float(rays_r)
+    assert float(np.asarray(frame_r.color).std()) > 0.02
+
+
 def test_block_perm_reorder_bitexact(monkeypatch):
     """The block-permutation reorder (RTF_TPU_SEG_BPERM: per-block min-key
     argsort + one scalar-prefetch DMA pass instead of the 15-plane XLA
@@ -238,6 +266,12 @@ def test_block_perm_reorder_bitexact(monkeypatch):
     monkeypatch.setenv("RTF_TPU_SEG_BPERM", "2")
     frame_b, rays_b = render_frame_counted_jit(
         compiled_f, cam, env, config, init_frame(48, 48))
+    # hybrid: every 2nd reorder in the bperm region is the exact
+    # compacting sort (RTF_TPU_SEG_BPERM_EXACT) — still bit-identical
+    monkeypatch.setenv("RTF_TPU_SEG_BPERM_EXACT", "2")
+    frame_h, rays_h = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(48, 48))
+    monkeypatch.delenv("RTF_TPU_SEG_BPERM_EXACT")
     monkeypatch.setenv("RTF_TPU_SEG_BPERM", "0")
     frame_n, rays_n = render_frame_counted_jit(
         compiled_f, cam, env, config, init_frame(48, 48))
@@ -245,7 +279,11 @@ def test_block_perm_reorder_bitexact(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(getattr(frame_b, name)),
             np.asarray(getattr(frame_n, name)), err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(getattr(frame_h, name)),
+            np.asarray(getattr(frame_n, name)), err_msg="hybrid " + name)
     assert float(rays_b) == float(rays_n)
+    assert float(rays_h) == float(rays_n)
     assert float(np.asarray(frame_n.color).std()) > 0.02
 
 
