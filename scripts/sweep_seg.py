@@ -17,6 +17,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 VARIANTS = [
     ("baseline", {}),
+    # tiled raygen default-on A/B (square pixel blocks per kernel tile)
+    ("notiled", {"RTF_TPU_TILED_RAYGEN": "0"}),
     ("chunk128", {"RTF_TPU_FUSED_CHUNK": "128"}),
     ("chunk128_sub8", {"RTF_TPU_FUSED_CHUNK": "128",
                        "RTF_TPU_FUSED_SUB": "8"}),
