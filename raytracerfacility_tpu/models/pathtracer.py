@@ -955,8 +955,14 @@ def _untile(a, slots, height, width, tiling):
 
 
 def tiled_raygen_enabled() -> bool:
-    """RTF_TPU_TILED_RAYGEN=0 restores raster-order pools (A/B knob)."""
-    return os.environ.get("RTF_TPU_TILED_RAYGEN", "1") == "1"
+    """RTF_TPU_TILED_RAYGEN=1 groups each kernel tile's primaries into a
+    square pixel block instead of raster strips. DEFAULT OFF: a same-
+    session 2x2 A/B at the 1080p headline measured tiled raygen at -1.2
+    Mrays/s (30.2 vs 31.4) despite the tighter primary-segment frusta —
+    segment-0 culling already skips most chunks on raster strips, and the
+    tiled pool's s>=1 reorders start from a worse permutation (PERF.md
+    round-4 ledger). Kept as a knob for non-camera-like pools."""
+    return os.environ.get("RTF_TPU_TILED_RAYGEN", "0") == "1"
 
 
 def _pool_fused_slots(
@@ -1472,6 +1478,7 @@ _KNOB_NAMES = (
     "RTF_TPU_SEG_EVERY", "RTF_TPU_SEG_MBITS", "RTF_TPU_SEG_DBITS",
     "RTF_TPU_SEG_GROUP", "RTF_TPU_SEG_BPERM", "RTF_TPU_SEG_BPERM_FROM",
     "RTF_TPU_SEG_BPERM_EXACT", "RTF_TPU_TILED_RAYGEN",
+    "RTF_TPU_SEG_WDEPTH", "RTF_TPU_SEG_SUBBITS",
     "RTF_TPU_SEG_ROWS", "RTF_TPU_FUSED_ROWS", "RTF_TPU_FUSED_CHUNK",
     "RTF_TPU_FUSED_SUB", "RTF_TPU_UNROLL", "RTF_TPU_FRAME_POOL_RAYS",
     "RTF_BTF_BUCKET",

@@ -48,24 +48,13 @@ from __future__ import annotations
 
 import os
 
+import jax
 import jax.numpy as jnp
 
 
-def chunk_order(ox, oy, oz, dx, dy, dz, act, chunk_aabbs, block_rows):
-    """(order, skip), both (tiles, nchunks) int32.
-
-    ``ox..dz`` are (rows, 128) ray planes, ``act`` a boolean plane of
-    live lanes (dead lanes are excluded from the bundle intervals; an
-    all-dead tile skips every chunk), ``chunk_aabbs`` the (C, >=6) chunk
-    AABB table. Pad chunks (inverted AABBs) may be included: they are
-    never accepted, so ``order`` never emits a pad index at a non-skipped
-    step — when no chunk is accepted the repeated index degenerates to
-    ``argsort(all-inf)[0] == 0``, a real chunk. Callers whose grid is
-    shorter than C simply read the first grid-extent columns.
-    """
-    tiles = ox.shape[0] // block_rows
-    nchunks = chunk_aabbs.shape[0]
-
+def _bundle_ranges(ox, oy, oz, dx, dy, dz, act, tiles):
+    """Per-tile live-ray bundle intervals: origin box, inverse-direction
+    interval, and the sign-straddle mask (see module docstring)."""
     big = jnp.float32(3.4e38)
     w = act.reshape(tiles, -1)
 
@@ -85,10 +74,16 @@ def chunk_order(ox, oy, oz, dx, dy, dz, act, chunk_aabbs, block_rows):
     i_b = 1.0 / jnp.where(straddle, 1.0, d_hi)
     inv_lo = jnp.minimum(i_a, i_b)[:, None]   # (T,1,3)
     inv_hi = jnp.maximum(i_a, i_b)[:, None]
-    str_b = straddle[:, None]
+    return w, o_lo, o_hi, inv_lo, inv_hi, straddle[:, None]
 
-    lo = chunk_aabbs[None, :, 0:3]  # (1, C, 3)
-    hi = chunk_aabbs[None, :, 3:6]
+
+def _bundle_slab(o_lo, o_hi, inv_lo, inv_hi, str_b, aabbs):
+    """(near_lb, far_ub, pad) of the bundle against each AABB row —
+    conservative: any live ray hitting the slab implies
+    near_lb <= far_ub and far_ub > 0."""
+    big = jnp.float32(3.4e38)
+    lo = aabbs[None, :, 0:3]  # (1, C, 3)
+    hi = aabbs[None, :, 3:6]
 
     def prod_iv(a_lo, a_hi):
         cands = (a_lo * inv_lo, a_lo * inv_hi, a_hi * inv_lo, a_hi * inv_hi)
@@ -103,8 +98,54 @@ def chunk_order(ox, oy, oz, dx, dy, dz, act, chunk_aabbs, block_rows):
     tmax_ub = jnp.where(str_b, big, jnp.maximum(t1_ub, t2_ub))
     near_lb = jnp.max(tmin_lb, axis=-1)  # (T, C)
     far_ub = jnp.min(tmax_ub, axis=-1)
+    pad = (aabbs[:, 0] > aabbs[:, 3])[None]  # inverted AABB
+    return near_lb, far_ub, pad
 
-    pad = (chunk_aabbs[:, 0] > chunk_aabbs[:, 3])[None]  # inverted AABB
+
+def sub_run_bits(ox, oy, oz, dx, dy, dz, act, sub_aabbs, block_rows,
+                 nchunks: int):
+    """Per-(tile, chunk) int32 bitmask of sub-runs the tile's live-ray
+    bundle MAY hit (bit j = sub-run j of that chunk). The kernel gates
+    each sub-run's vector slab test on its scalar bit, so provably-
+    missed runs skip the ~30-op slab + cross-lane any-reduce entirely.
+    Conservative-only (no best-t occlusion term — the in-kernel slab
+    still guards every passing run), so any bit pattern that is a
+    superset of the truly-hittable runs is bit-identically correct.
+    Requires sub-runs-per-chunk <= 32 (caller guards)."""
+    tiles = ox.shape[0] // block_rows
+    nsub = sub_aabbs.shape[0] // nchunks
+    w, o_lo, o_hi, inv_lo, inv_hi, str_b = _bundle_ranges(
+        ox, oy, oz, dx, dy, dz, act, tiles)
+    near_lb, far_ub, padm = _bundle_slab(o_lo, o_hi, inv_lo, inv_hi,
+                                         str_b, sub_aabbs)
+    has_live = jnp.any(w, axis=1)[:, None]
+    acc = (near_lb <= far_ub) & (far_ub > 0.0) & ~padm & has_live
+    acc = acc.reshape(tiles, nchunks, nsub)
+    weights = (jnp.uint32(1) << jnp.arange(nsub, dtype=jnp.uint32))
+    bits = jnp.sum(jnp.where(acc, weights[None, None], jnp.uint32(0)),
+                   axis=-1, dtype=jnp.uint32)
+    return jax.lax.bitcast_convert_type(bits, jnp.int32)
+
+
+def chunk_order(ox, oy, oz, dx, dy, dz, act, chunk_aabbs, block_rows):
+    """(order, skip), both (tiles, nchunks) int32.
+
+    ``ox..dz`` are (rows, 128) ray planes, ``act`` a boolean plane of
+    live lanes (dead lanes are excluded from the bundle intervals; an
+    all-dead tile skips every chunk), ``chunk_aabbs`` the (C, >=6) chunk
+    AABB table. Pad chunks (inverted AABBs) may be included: they are
+    never accepted, so ``order`` never emits a pad index at a non-skipped
+    step — when no chunk is accepted the repeated index degenerates to
+    ``argsort(all-inf)[0] == 0``, a real chunk. Callers whose grid is
+    shorter than C simply read the first grid-extent columns.
+    """
+    tiles = ox.shape[0] // block_rows
+    nchunks = chunk_aabbs.shape[0]
+
+    w, o_lo, o_hi, inv_lo, inv_hi, str_b = _bundle_ranges(
+        ox, oy, oz, dx, dy, dz, act, tiles)
+    near_lb, far_ub, pad = _bundle_slab(o_lo, o_hi, inv_lo, inv_hi,
+                                        str_b, chunk_aabbs)
     has_live = jnp.any(w, axis=1)[:, None]  # all-dead tiles skip everything
     accepted = (near_lb <= far_ub) & (far_ub > 0.0) & ~pad & has_live
 

@@ -121,6 +121,13 @@ SORT_BLOCK_DEFAULT = "0"
 # is bit-identical). Read at call time (render_pool_sorted) and passed
 # as a static arg so tests/sweeps can flip it per call.
 TRACE_WINDOW_DEFAULT = "1"
+# liveness-window cascade depth (RTF_TPU_SEG_WDEPTH = k: static windows
+# full, 1/2, ..., 1/2^k of the pool for BOTH the reorder sort and the
+# trace grid). Default 3 (= the round-3 /8 floor). Late bounce segments
+# at 8 bounces run ~3-8% live, below that floor — k=4/5 adds /16 and
+# /32 windows at the cost of 2 more kernel-shape compiles per segment
+# variant. Read at call time (render_pool_sorted).
+WDEPTH_DEFAULT = "3"
 # ROW-GROUP culling granularity (RTF_TPU_SEG_GROUP, rows per group; 0 =
 # whole-tile culling, the round-3 behavior): the kernel's trace body
 # runs per (group_rows, 128) row group with its own chunk/sub culling
@@ -133,6 +140,19 @@ TRACE_WINDOW_DEFAULT = "1"
 # + cond scalar overhead beats the visited-pair savings on coherent
 # camera pools. Kept for incoherent pools (scripts/sweep_config4.py).
 SEG_GROUP_DEFAULT = "0"
+# per-sub-run cull bits (RTF_TPU_SEG_SUBBITS=1): alongside the per-tile
+# chunk order, compute XLA-side a (tiles, nchunks) int32 bitmask whose
+# bit j says the tile's live-ray bundle MAY hit sub-run j of that chunk
+# (same interval arithmetic as the chunk test, over the sub AABBs). The
+# kernel reads the chunk's mask ONCE from scalar prefetch and gates each
+# sub-run's vector slab test on its scalar bit — provably-missed runs
+# skip the ~30-op slab + cross-lane any-reduce entirely. This is the
+# third culling level the row-group experiment wanted, WITHOUT its
+# per-group vector-reduce overhead: the extra in-kernel work per sub-run
+# is one scalar shift+branch. Strictly conservative (no best-t term;
+# the in-kernel slab still guards every passing run) -> bit-identical.
+# Requires sub-runs-per-chunk <= 32 (int32 mask); auto-disabled above.
+SUBBITS_DEFAULT = "0"
 # BLOCK-PERMUTATION reorder (RTF_TPU_SEG_BPERM, rows per block; 0 = the
 # XLA multi-operand-sort reorder): between segments, instead of sorting
 # all 15 state planes (~17-21 ms full / ~91 ms per frame at 1080p,
@@ -165,12 +185,7 @@ BPERM_EXACT_DEFAULT = "0"
 
 
 def _kernel(
-    order_ref, skip_ref, tris, subs, chunks_ref, mats, envc,
-    # per-tile ray-state inputs (VMEM planes)
-    i_ox, i_oy, i_oz, i_dx, i_dy, i_dz, i_rng, i_act,
-    i_tr, i_tg, i_tb, i_rr, i_rg, i_rb,
-    # outputs: updated state (14) [+ 9 first-hit AOVs when seg == 0]
-    *refs,
+    order_ref, skip_ref, *args,
     is_first: bool,
     has_cont: bool,
     xla_env: bool,
@@ -181,7 +196,20 @@ def _kernel(
     chunk: int,
     sub: int,
     group_rows: int,
+    use_subbits: bool = False,
 ):
+    # optional third scalar-prefetch arg: per-(tile, chunk) sub-run cull
+    # bitmask (see SUBBITS_DEFAULT)
+    if use_subbits:
+        subbits_ref, *args = args
+    else:
+        subbits_ref = None
+    (tris, subs, chunks_ref, mats, envc,
+     # per-tile ray-state inputs (VMEM planes)
+     i_ox, i_oy, i_oz, i_dx, i_dy, i_dz, i_rng, i_act,
+     i_tr, i_tg, i_tb, i_rr, i_rg, i_rb) = args[:19]
+    # outputs: updated state (14) [+ 9 first-hit AOVs when seg == 0]
+    refs = args[19:]
     (o_ox, o_oy, o_oz, o_dx, o_dy, o_dz, o_rng, o_act,
      o_tr, o_tg, o_tb, o_rr, o_rg, o_rb) = refs[:14]
     k = 14
@@ -211,6 +239,9 @@ def _kernel(
     # test still guards every visited chunk).
     cc = order_ref[pl.program_id(0), c]
     do_step = skip_ref[pl.program_id(0), c] == 0
+    # sub-run cull mask for this (tile, chunk) — read at kernel top level
+    # (program_id inside the pl.when body breaks interpret mode)
+    sb = subbits_ref[pl.program_id(0), cc] if use_subbits else None
 
     # this segment's trace tmin (ref: camera rays start at envc[10] —
     # 0 for the camera, the estimator's 1e-3 probe offset for pools —
@@ -301,17 +332,23 @@ def _kernel(
             return (near <= far) & (far > tmin_g) & (near <= bt)
 
         def sub_body(si, carry):
-            enter = slab(subs[si, 0], subs[si, 1], subs[si, 2],
-                         subs[si, 3], subs[si, 4], subs[si, 5], carry[0])
+            def test_and_run(b):
+                enter = slab(subs[si, 0], subs[si, 1], subs[si, 2],
+                             subs[si, 3], subs[si, 4], subs[si, 5], b[0])
 
-            def run(b):
-                # static 0..sub bounds (offset inside): `unroll` requires
-                # statically known loop bounds
-                return jax.lax.fori_loop(
-                    0, sub, lambda k, bb: tri_body(si * sub + k, bb), b,
-                    unroll=unroll)
+                def run(bb):
+                    # static 0..sub bounds (offset inside): `unroll`
+                    # requires statically known loop bounds
+                    return jax.lax.fori_loop(
+                        0, sub, lambda k, b2: tri_body(si * sub + k, b2),
+                        bb, unroll=unroll)
 
-            return jax.lax.cond(jnp.any(enter), run, lambda b: b, carry)
+                return jax.lax.cond(jnp.any(enter), run, lambda bb: bb, b)
+
+            if not use_subbits:
+                return test_and_run(carry)
+            bit = jax.lax.shift_right_logical(sb, si) & 1
+            return jax.lax.cond(bit != 0, test_and_run, lambda b: b, carry)
 
         carry = carry_in
         entered = slab(chunks_ref[cc, 0], chunks_ref[cc, 1], chunks_ref[cc, 2],
@@ -504,7 +541,7 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
                   skip, state, is_first: bool, has_cont: bool, rows: int,
                   interpret: bool, xla_env: bool = False,
                   block_rows: int = 64, chunk: int = TRI_CHUNK,
-                  group_rows: int = 0):
+                  group_rows: int = 0, subbits=None):
     """One trace+shade segment over planar state ((rows, 128) planes).
 
     ``state`` = (ox, oy, oz, dx, dy, dz, rng(i32), act, tr, tg, tb,
@@ -522,16 +559,29 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
     nchunks = table.shape[0] // chunk
     sub = table.shape[0] // sub_aabbs.shape[0]
     grid = (tiles, nchunks)
+    use_subbits = subbits is not None
 
-    ray_spec = pl.BlockSpec((block_rows, _LANES), lambda i, c, o, s: (i, 0))
-    # culled steps repeat the previous step's window index, so their
-    # HBM->SMEM window DMA is elided (Pallas only refetches on change)
-    tri_spec = pl.BlockSpec((chunk, _COLS),
-                            lambda i, c, o, s: (o[i, c], 0),
-                            memory_space=pltpu.SMEM)
-    sub_spec = pl.BlockSpec((chunk // sub, 8),
-                            lambda i, c, o, s: (o[i, c], 0),
-                            memory_space=pltpu.SMEM)
+    if use_subbits:
+        # a third scalar-prefetch arg shifts every index-map signature
+        ray_spec = pl.BlockSpec((block_rows, _LANES),
+                                lambda i, c, o, s, b: (i, 0))
+        tri_spec = pl.BlockSpec((chunk, _COLS),
+                                lambda i, c, o, s, b: (o[i, c], 0),
+                                memory_space=pltpu.SMEM)
+        sub_spec = pl.BlockSpec((chunk // sub, 8),
+                                lambda i, c, o, s, b: (o[i, c], 0),
+                                memory_space=pltpu.SMEM)
+    else:
+        ray_spec = pl.BlockSpec((block_rows, _LANES),
+                                lambda i, c, o, s: (i, 0))
+        # culled steps repeat the previous step's window index, so their
+        # HBM->SMEM window DMA is elided (Pallas only refetches on change)
+        tri_spec = pl.BlockSpec((chunk, _COLS),
+                                lambda i, c, o, s: (o[i, c], 0),
+                                memory_space=pltpu.SMEM)
+        sub_spec = pl.BlockSpec((chunk // sub, 8),
+                                lambda i, c, o, s: (o[i, c], 0),
+                                memory_space=pltpu.SMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     plane = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
@@ -554,21 +604,23 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
         num_mats=int(mat_table.shape[0]), nchunks=nchunks,
         block_rows=block_rows, unroll=resolve_unroll(interpret, sub),
         chunk=chunk, sub=sub, group_rows=group_rows,
+        use_subbits=use_subbits,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if use_subbits else 2,
         grid=grid,
         in_specs=[tri_spec, sub_spec, smem_spec, smem_spec, smem_spec]
         + [ray_spec] * 14,
         out_specs=[ray_spec] * n_out,
         scratch_shapes=scratch,
     )
+    prefetch = (order, skip, subbits) if use_subbits else (order, skip)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(order, skip, table, sub_aabbs, chunk_aabbs, mat_table, env_vec,
+    )(*prefetch, table, sub_aabbs, chunk_aabbs, mat_table, env_vec,
       *state)
     new_state = outs[:14]
     k = 14
@@ -590,6 +642,18 @@ def _chunk_order(state, chunk_aabbs, block_rows):
     ox, oy, oz, dx, dy, dz = state[:6]
     return chunk_order(ox, oy, oz, dx, dy, dz, state[7] > 0.0,
                        chunk_aabbs, block_rows)
+
+
+def _sub_bits(state, table, sub_aabbs, block_rows, chunk):
+    """Per-(tile, chunk) sub-run cull bitmask (see SUBBITS_DEFAULT).
+    nchunks comes from the triangle table so the mask width matches the
+    kernel grid exactly (chunk_aabbs may carry extra pad rows)."""
+    from raytracerfacility_tpu.ops.chunk_order import sub_run_bits
+
+    nch = table.shape[0] // chunk
+    ox, oy, oz, dx, dy, dz = state[:6]
+    return sub_run_bits(ox, oy, oz, dx, dy, dz, state[7] > 0.0,
+                        sub_aabbs, block_rows, nch)
 
 
 def _morton_key(ox, oy, oz, dx, dy, dz, act, lo, inv_extent):
@@ -665,7 +729,7 @@ def _apply_block_perm(perm, planes, brows: int, interpret: bool):
     static_argnames=("bounces", "presort", "interpret", "lighting_type",
                      "atmos_samples", "atmos_samples_light", "sort_block",
                      "chunk", "trace_window", "group_rows", "bperm_rows",
-                     "bperm_from", "bperm_exact"))
+                     "bperm_from", "bperm_exact", "wdepth", "subbits"))
 def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         direction, rng, valid, env_vec, bounces: int,
                         presort: bool = False, interpret: bool = False,
@@ -675,7 +739,8 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         sort_block: int = 0, chunk: int = TRI_CHUNK,
                         trace_window: bool = True, group_rows: int = 0,
                         bperm_rows: int = 0, bperm_from: int = 1,
-                        bperm_exact: int = 0):
+                        bperm_exact: int = 0, wdepth: int = 3,
+                        subbits: bool = False):
     r = origin.shape[0]
     block_rows = _pick_block_rows((r + _LANES - 1) // _LANES)
     block = block_rows * _LANES
@@ -770,18 +835,20 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
             bops = tuple(o.reshape(nb, rp // nb) for o in ops)
             outs = jax.lax.sort(bops, num_keys=1)
             outs = tuple(o.reshape(rp) for o in outs)
-        elif prev_live is None or rp < 8 * block:
+        elif prev_live is None or rp < (1 << wdepth) * block:
             outs = sort_window(rp)(tuple(ops))
         else:
-            outs = jax.lax.cond(
-                prev_live <= float(rp // 8), sort_window(rp // 8),
-                lambda o: jax.lax.cond(
-                    prev_live <= float(rp // 4), sort_window(rp // 4),
-                    lambda o2: jax.lax.cond(
-                        prev_live <= float(rp // 2), sort_window(rp // 2),
-                        sort_window(rp), o2),
-                    o),
-                tuple(ops))
+            # cond cascade from the smallest window (rp >> wdepth) up to
+            # the full pool; structurally the round-3 fixed /2 /4 /8
+            # cascade at wdepth=3
+            def cascade(k):
+                if k == 0:
+                    return sort_window(rp)
+                return lambda o: jax.lax.cond(
+                    prev_live <= float(rp >> k), sort_window(rp >> k),
+                    cascade(k - 1), o)
+
+            outs = cascade(wdepth)(tuple(ops))
         key_s = outs[0].reshape(rp)
         act = plane((key_s != jnp.int32(2147483647)).astype(jnp.float32))
         p6 = [plane(o.reshape(rp)) for o in outs[1:7]]
@@ -853,13 +920,19 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
         state, orig_idx = reorder(state, orig_idx)
     aov_orig_idx = orig_idx  # segment-0 order, for AOV scatter-back
 
+    # sub-run cull bits need <= 32 sub-runs per chunk (int32 mask)
+    sub_rows = table.shape[0] // sub_aabbs.shape[0]
+    use_sb = subbits and chunk // sub_rows <= 32
+
     prev = state
     order, skip = _chunk_order(state, chunk_aabbs, block_rows)
+    sb_tab = (_sub_bits(state, table, sub_aabbs, block_rows, chunk)
+              if use_sb else None)
     state, aovs, live0, miss = _segment_call(
         table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order, skip,
         state, is_first=True, has_cont=bounces >= 1, rows=rows,
         interpret=interpret, xla_env=xla_env, block_rows=block_rows,
-        chunk=chunk, group_rows=group_rows)
+        chunk=chunk, group_rows=group_rows, subbits=sb_tab)
     total_live = live0
     if xla_env:
         state, light, m = add_env(state, prev, miss)
@@ -891,12 +964,14 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
         def f(st):
             sub = st if wr == rows else tuple(p[:wr] for p in st)
             order, skip = _chunk_order(sub, chunk_aabbs, block_rows)
+            sb_tab = (_sub_bits(sub, table, sub_aabbs, block_rows, chunk)
+                      if use_sb else None)
             out, _, _, miss = _segment_call(
                 table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
                 skip, sub, is_first=False, has_cont=has_cont, rows=wr,
                 interpret=interpret, xla_env=xla_env,
                 block_rows=block_rows, chunk=chunk,
-                group_rows=group_rows)
+                group_rows=group_rows, subbits=sb_tab)
             if xla_env:
                 out, _, _ = add_env(out, sub, miss, n=wr * _LANES)
             if wr == rows:
@@ -909,19 +984,19 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
         # window sizes are in whole kernel TILES (ceil(tiles/2^k)) so
         # the windowed grid stays block-aligned; `extent` is compared in
         # rays. Cascade mirrors the reorder's sort windows above.
-        if extent is None or not trace_window or tiles < 8:
+        if extent is None or not trace_window or tiles < (1 << wdepth):
             return seg_window(tiles, has_cont)(st)
-        wts = [tiles, -(-tiles // 2), -(-tiles // 4), -(-tiles // 8)]
+        wts = [-(-tiles // (1 << k)) for k in range(wdepth + 1)]
         cover = [float(w * block_rows * _LANES) for w in wts]
-        return jax.lax.cond(
-            extent <= cover[3], seg_window(wts[3], has_cont),
-            lambda o: jax.lax.cond(
-                extent <= cover[2], seg_window(wts[2], has_cont),
-                lambda o2: jax.lax.cond(
-                    extent <= cover[1], seg_window(wts[1], has_cont),
-                    seg_window(wts[0], has_cont), o2),
-                o),
-            st)
+
+        def cascade(k):
+            if k == 0:
+                return seg_window(wts[0], has_cont)
+            return lambda o: jax.lax.cond(
+                extent <= cover[k], seg_window(wts[k], has_cont),
+                cascade(k - 1), o)
+
+        return cascade(wdepth)(st)
 
     for s in range(1, bounces + 1):
         sorted_now = (s - 1) % REORDER_EVERY == 0
@@ -1018,6 +1093,9 @@ def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
                                       BPERM_FROM_DEFAULT)),
         bperm_exact=int(os.environ.get("RTF_TPU_SEG_BPERM_EXACT",
                                        BPERM_EXACT_DEFAULT)),
+        wdepth=int(os.environ.get("RTF_TPU_SEG_WDEPTH", WDEPTH_DEFAULT)),
+        subbits=os.environ.get("RTF_TPU_SEG_SUBBITS",
+                               SUBBITS_DEFAULT) == "1",
     )
 
 

@@ -27,6 +27,11 @@ VARIANTS = [
     ("chunk128", {"RTF_TPU_FUSED_CHUNK": "128"}),
     ("sub8", {"RTF_TPU_FUSED_SUB": "8"}),
     ("bperm8", {"RTF_TPU_SEG_BPERM": "8"}),
+    # per-sub-run cull bits: incoherent probe pools are where finer
+    # culling granularity should pay most (tile bundles are widest)
+    ("subbits", {"RTF_TPU_SEG_SUBBITS": "1"}),
+    ("subbits_group16", {"RTF_TPU_SEG_SUBBITS": "1",
+                         "RTF_TPU_SEG_GROUP": "16"}),
 ]
 
 

@@ -17,8 +17,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 VARIANTS = [
     ("baseline", {}),
-    # tiled raygen default-on A/B (square pixel blocks per kernel tile)
-    ("notiled", {"RTF_TPU_TILED_RAYGEN": "0"}),
+    # tiled raygen (square pixel blocks per kernel tile) — default OFF
+    # after the round-4 2x2 A/B measured it at -1.2 Mrays/s (PERF.md)
+    ("tiled", {"RTF_TPU_TILED_RAYGEN": "1"}),
     ("chunk128", {"RTF_TPU_FUSED_CHUNK": "128"}),
     ("chunk128_sub8", {"RTF_TPU_FUSED_CHUNK": "128",
                        "RTF_TPU_FUSED_SUB": "8"}),
@@ -31,6 +32,15 @@ VARIANTS = [
     ("mbits3", {"RTF_TPU_SEG_MBITS": "3"}),
     ("mbits5", {"RTF_TPU_SEG_MBITS": "5"}),
     ("every2", {"RTF_TPU_SEG_EVERY": "2"}),
+    # deeper liveness-window cascades (/16, /32 sort+trace windows for
+    # the ~3%-live late bounce segments; default stops at /8)
+    ("wdepth4", {"RTF_TPU_SEG_WDEPTH": "4"}),
+    ("wdepth5", {"RTF_TPU_SEG_WDEPTH": "5"}),
+    # per-sub-run cull bits (scalar-prefetch bitmask gates each sub-run's
+    # vector slab + any-reduce; the row-group idea without its overhead)
+    ("subbits", {"RTF_TPU_SEG_SUBBITS": "1"}),
+    ("subbits_wdepth4", {"RTF_TPU_SEG_SUBBITS": "1",
+                         "RTF_TPU_SEG_WDEPTH": "4"}),
     # row-group culling granularity (default 0 = whole tile; measured
     # round 4 at the headline: 16/8/4 = 29.6/24.6/16.6 vs 31.0 — the
     # per-group cond + any-reduce overhead loses on coherent camera

@@ -187,6 +187,63 @@ def test_sorted_trace_window_bitexact(monkeypatch, env_hook):
     assert float(np.asarray(frame_n.color).std()) > 0.02
 
 
+def test_window_cascade_depth_bitexact(monkeypatch):
+    """RTF_TPU_SEG_WDEPTH=4 extends BOTH liveness cascades (reorder sort
+    windows and trace-grid windows) down to 1/16 of the pool. Windows
+    only ever slice the dead tail (live rays are a sorted prefix and the
+    kernel is the identity on dead lanes), so any depth is bit-identical
+    to the default /8 cascade. 64x64 pool at 2-row kernel tiles -> 16
+    tiles and rp = 16 * block, so the depth-4 windows actually engage."""
+    from raytracerfacility_tpu.ops import pallas_seg
+
+    compiled_f, cam, env = _scene("1", monkeypatch)
+    config = RenderConfig(
+        width=64, height=64, bounces=4, samples=1,
+        enable_textures=False, enable_vertex_color=False,
+        samples_in_lanes=True)
+    monkeypatch.setenv("RTF_TPU_SORTED", "1")
+    monkeypatch.setattr(pallas_seg, "BLOCK_ROWS_ENV", "2")
+    monkeypatch.setenv("RTF_TPU_SEG_WDEPTH", "4")
+    frame_d, rays_d = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(64, 64))
+    monkeypatch.delenv("RTF_TPU_SEG_WDEPTH")
+    frame_n, rays_n = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(64, 64))
+    for name in ("color", "normal", "albedo"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(frame_d, name)),
+            np.asarray(getattr(frame_n, name)), err_msg=name)
+    assert float(rays_d) == float(rays_n)
+    assert float(np.asarray(frame_n.color).std()) > 0.02
+
+
+def test_sub_run_bits_bitexact(monkeypatch):
+    """RTF_TPU_SEG_SUBBITS=1 precomputes, per (tile, chunk), a bitmask of
+    sub-runs the tile's live-ray bundle may hit (XLA-side interval test
+    over the sub AABBs) and gates each sub-run's in-kernel slab test on
+    its scalar bit. The mask is conservative (any superset of hittable
+    runs is correct) and the in-kernel slab still guards passing runs,
+    so results are BIT-IDENTICAL to the untabled engine."""
+    compiled_f, cam, env = _scene("1", monkeypatch)
+    config = RenderConfig(
+        width=48, height=48, bounces=4, samples=1,
+        enable_textures=False, enable_vertex_color=False,
+        samples_in_lanes=True)
+    monkeypatch.setenv("RTF_TPU_SORTED", "1")
+    monkeypatch.setenv("RTF_TPU_SEG_SUBBITS", "1")
+    frame_b, rays_b = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(48, 48))
+    monkeypatch.delenv("RTF_TPU_SEG_SUBBITS")
+    frame_n, rays_n = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(48, 48))
+    for name in ("color", "normal", "albedo"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(frame_b, name)),
+            np.asarray(getattr(frame_n, name)), err_msg=name)
+    assert float(rays_b) == float(rays_n)
+    assert float(np.asarray(frame_n.color).std()) > 0.02
+
+
 def test_row_group_culling_bitexact(monkeypatch):
     """Row-group culling (the third culling level: per-(group_rows, 128)
     chunk/sub conds inside the tile) must be BIT-IDENTICAL to whole-tile
