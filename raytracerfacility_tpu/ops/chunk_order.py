@@ -127,6 +127,38 @@ def sub_run_bits(ox, oy, oz, dx, dy, dz, act, sub_aabbs, block_rows,
     return jax.lax.bitcast_convert_type(bits, jnp.int32)
 
 
+def sub_run_interval(ox, oy, oz, dx, dy, dz, act, sub_aabbs, block_rows,
+                     nchunks: int):
+    """Per-(tile, chunk) [lo, hi) sub-run visitation bounds: the hull of
+    the sub-runs the tile's live-ray bundle MAY hit (same conservative
+    interval slab test as :func:`sub_run_bits`). The kernel runs its
+    per-chunk sub loop as ``fori_loop(lo, hi)`` — provably-missed runs
+    OUTSIDE the hull cost nothing at all (no slab, no any-reduce, no
+    cond), and because Morton packing lays sub-runs out spatially, the
+    hull of hittable runs is usually tight. Conservative-only (no best-t
+    term; the in-kernel per-sub slab still guards every visited run), so
+    any [lo, hi) superset of the truly-hittable runs is bit-identically
+    correct; chunks with no hittable run get lo == hi == 0 (empty loop).
+    No sub-run-count cap (unlike the int32 bitmask of sub_run_bits).
+
+    Returns a (2, tiles, nchunks) int32: ``[0]`` = lo, ``[1]`` = hi."""
+    tiles = ox.shape[0] // block_rows
+    nsub = sub_aabbs.shape[0] // nchunks
+    w, o_lo, o_hi, inv_lo, inv_hi, str_b = _bundle_ranges(
+        ox, oy, oz, dx, dy, dz, act, tiles)
+    near_lb, far_ub, padm = _bundle_slab(o_lo, o_hi, inv_lo, inv_hi,
+                                         str_b, sub_aabbs)
+    has_live = jnp.any(w, axis=1)[:, None]
+    acc = (near_lb <= far_ub) & (far_ub > 0.0) & ~padm & has_live
+    acc = acc.reshape(tiles, nchunks, nsub)
+    any_acc = jnp.any(acc, axis=-1)
+    first = jnp.argmax(acc, axis=-1).astype(jnp.int32)
+    last = (nsub - 1 - jnp.argmax(acc[..., ::-1], axis=-1)).astype(jnp.int32)
+    lo = jnp.where(any_acc, first, 0)
+    hi = jnp.where(any_acc, last + 1, 0)
+    return jnp.stack([lo, hi])
+
+
 def chunk_order(ox, oy, oz, dx, dy, dz, act, chunk_aabbs, block_rows):
     """(order, skip), both (tiles, nchunks) int32.
 

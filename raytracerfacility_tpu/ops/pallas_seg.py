@@ -153,6 +153,18 @@ SEG_GROUP_DEFAULT = "0"
 # the in-kernel slab still guards every passing run) -> bit-identical.
 # Requires sub-runs-per-chunk <= 32 (int32 mask); auto-disabled above.
 SUBBITS_DEFAULT = "0"
+# per-sub-run cull INTERVAL (RTF_TPU_SEG_SUBIV=1): like SUBBITS, but
+# instead of a bitmask + per-run scalar shift/cond (which crashes the
+# remote Mosaic compiler: tpu_compile_helper HTTP 500, round-4 sweep),
+# the XLA side computes the [lo, hi) HULL of the sub-runs each
+# (tile, chunk) bundle may hit and the kernel runs its sub loop as
+# ``fori_loop(lo, hi)`` with bounds read from scalar prefetch. Runs
+# outside the hull cost NOTHING (no slab, no any-reduce, no cond, no
+# dynamic shifts — only loop bounds change), and Morton packing makes
+# the hittable set nearly contiguous, so the hull is tight. Strictly
+# conservative (the in-kernel per-sub slab still guards every visited
+# run) -> bit-identical. Mutually exclusive with SUBBITS (SUBIV wins).
+SUBIV_DEFAULT = "0"
 # BLOCK-PERMUTATION reorder (RTF_TPU_SEG_BPERM, rows per block; 0 = the
 # XLA multi-operand-sort reorder): between segments, instead of sorting
 # all 15 state planes (~17-21 ms full / ~91 ms per frame at 1080p,
@@ -197,13 +209,15 @@ def _kernel(
     sub: int,
     group_rows: int,
     use_subbits: bool = False,
+    use_subiv: bool = False,
 ):
     # optional third scalar-prefetch arg: per-(tile, chunk) sub-run cull
-    # bitmask (see SUBBITS_DEFAULT)
+    # bitmask (SUBBITS_DEFAULT) or [lo, hi) interval (SUBIV_DEFAULT)
+    subbits_ref = subiv_ref = None
     if use_subbits:
         subbits_ref, *args = args
-    else:
-        subbits_ref = None
+    elif use_subiv:
+        subiv_ref, *args = args
     (tris, subs, chunks_ref, mats, envc,
      # per-tile ray-state inputs (VMEM planes)
      i_ox, i_oy, i_oz, i_dx, i_dy, i_dz, i_rng, i_act,
@@ -242,6 +256,9 @@ def _kernel(
     # sub-run cull mask for this (tile, chunk) — read at kernel top level
     # (program_id inside the pl.when body breaks interpret mode)
     sb = subbits_ref[pl.program_id(0), cc] if use_subbits else None
+    if use_subiv:
+        siv_lo = subiv_ref[0, pl.program_id(0), cc]
+        siv_hi = subiv_ref[1, pl.program_id(0), cc]
 
     # this segment's trace tmin (ref: camera rays start at envc[10] —
     # 0 for the camera, the estimator's 1e-3 probe offset for pools —
@@ -356,6 +373,10 @@ def _kernel(
                        carry[0])
 
         def run_chunk(b):
+            if use_subiv:
+                # dynamic [lo, hi) bounds from the scalar-prefetch hull:
+                # provably-missed runs outside it are never visited
+                return jax.lax.fori_loop(siv_lo, siv_hi, sub_body, b)
             return jax.lax.fori_loop(0, chunk // sub, sub_body, b)
 
         return jax.lax.cond(jnp.any(entered), run_chunk, lambda b: b, carry)
@@ -541,7 +562,7 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
                   skip, state, is_first: bool, has_cont: bool, rows: int,
                   interpret: bool, xla_env: bool = False,
                   block_rows: int = 64, chunk: int = TRI_CHUNK,
-                  group_rows: int = 0, subbits=None):
+                  group_rows: int = 0, subbits=None, subiv=None):
     """One trace+shade segment over planar state ((rows, 128) planes).
 
     ``state`` = (ox, oy, oz, dx, dy, dz, rng(i32), act, tr, tg, tb,
@@ -560,8 +581,10 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
     sub = table.shape[0] // sub_aabbs.shape[0]
     grid = (tiles, nchunks)
     use_subbits = subbits is not None
+    use_subiv = subiv is not None
+    assert not (use_subbits and use_subiv)
 
-    if use_subbits:
+    if use_subbits or use_subiv:
         # a third scalar-prefetch arg shifts every index-map signature
         ray_spec = pl.BlockSpec((block_rows, _LANES),
                                 lambda i, c, o, s, b: (i, 0))
@@ -604,17 +627,21 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
         num_mats=int(mat_table.shape[0]), nchunks=nchunks,
         block_rows=block_rows, unroll=resolve_unroll(interpret, sub),
         chunk=chunk, sub=sub, group_rows=group_rows,
-        use_subbits=use_subbits,
+        use_subbits=use_subbits, use_subiv=use_subiv,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3 if use_subbits else 2,
+        num_scalar_prefetch=3 if (use_subbits or use_subiv) else 2,
         grid=grid,
         in_specs=[tri_spec, sub_spec, smem_spec, smem_spec, smem_spec]
         + [ray_spec] * 14,
         out_specs=[ray_spec] * n_out,
         scratch_shapes=scratch,
     )
-    prefetch = (order, skip, subbits) if use_subbits else (order, skip)
+    prefetch = (order, skip)
+    if use_subbits:
+        prefetch = (order, skip, subbits)
+    elif use_subiv:
+        prefetch = (order, skip, subiv)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -654,6 +681,16 @@ def _sub_bits(state, table, sub_aabbs, block_rows, chunk):
     ox, oy, oz, dx, dy, dz = state[:6]
     return sub_run_bits(ox, oy, oz, dx, dy, dz, state[7] > 0.0,
                         sub_aabbs, block_rows, nch)
+
+
+def _sub_interval(state, table, sub_aabbs, block_rows, chunk):
+    """Per-(tile, chunk) [lo, hi) sub-run hull (see SUBIV_DEFAULT)."""
+    from raytracerfacility_tpu.ops.chunk_order import sub_run_interval
+
+    nch = table.shape[0] // chunk
+    ox, oy, oz, dx, dy, dz = state[:6]
+    return sub_run_interval(ox, oy, oz, dx, dy, dz, state[7] > 0.0,
+                            sub_aabbs, block_rows, nch)
 
 
 def _morton_key(ox, oy, oz, dx, dy, dz, act, lo, inv_extent):
@@ -729,7 +766,8 @@ def _apply_block_perm(perm, planes, brows: int, interpret: bool):
     static_argnames=("bounces", "presort", "interpret", "lighting_type",
                      "atmos_samples", "atmos_samples_light", "sort_block",
                      "chunk", "trace_window", "group_rows", "bperm_rows",
-                     "bperm_from", "bperm_exact", "wdepth", "subbits"))
+                     "bperm_from", "bperm_exact", "wdepth", "subbits",
+                     "subiv"))
 def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         direction, rng, valid, env_vec, bounces: int,
                         presort: bool = False, interpret: bool = False,
@@ -740,7 +778,7 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         trace_window: bool = True, group_rows: int = 0,
                         bperm_rows: int = 0, bperm_from: int = 1,
                         bperm_exact: int = 0, wdepth: int = 3,
-                        subbits: bool = False):
+                        subbits: bool = False, subiv: bool = False):
     r = origin.shape[0]
     block_rows = _pick_block_rows((r + _LANES - 1) // _LANES)
     block = block_rows * _LANES
@@ -920,19 +958,23 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
         state, orig_idx = reorder(state, orig_idx)
     aov_orig_idx = orig_idx  # segment-0 order, for AOV scatter-back
 
-    # sub-run cull bits need <= 32 sub-runs per chunk (int32 mask)
+    # sub-run cull bits need <= 32 sub-runs per chunk (int32 mask);
+    # the [lo, hi) hull variant has no cap and wins the conflict
     sub_rows = table.shape[0] // sub_aabbs.shape[0]
-    use_sb = subbits and chunk // sub_rows <= 32
+    use_siv = subiv
+    use_sb = subbits and not use_siv and chunk // sub_rows <= 32
 
     prev = state
     order, skip = _chunk_order(state, chunk_aabbs, block_rows)
     sb_tab = (_sub_bits(state, table, sub_aabbs, block_rows, chunk)
               if use_sb else None)
+    siv_tab = (_sub_interval(state, table, sub_aabbs, block_rows, chunk)
+               if use_siv else None)
     state, aovs, live0, miss = _segment_call(
         table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order, skip,
         state, is_first=True, has_cont=bounces >= 1, rows=rows,
         interpret=interpret, xla_env=xla_env, block_rows=block_rows,
-        chunk=chunk, group_rows=group_rows, subbits=sb_tab)
+        chunk=chunk, group_rows=group_rows, subbits=sb_tab, subiv=siv_tab)
     total_live = live0
     if xla_env:
         state, light, m = add_env(state, prev, miss)
@@ -966,12 +1008,14 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
             order, skip = _chunk_order(sub, chunk_aabbs, block_rows)
             sb_tab = (_sub_bits(sub, table, sub_aabbs, block_rows, chunk)
                       if use_sb else None)
+            siv_tab = (_sub_interval(sub, table, sub_aabbs, block_rows,
+                                     chunk) if use_siv else None)
             out, _, _, miss = _segment_call(
                 table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
                 skip, sub, is_first=False, has_cont=has_cont, rows=wr,
                 interpret=interpret, xla_env=xla_env,
                 block_rows=block_rows, chunk=chunk,
-                group_rows=group_rows, subbits=sb_tab)
+                group_rows=group_rows, subbits=sb_tab, subiv=siv_tab)
             if xla_env:
                 out, _, _ = add_env(out, sub, miss, n=wr * _LANES)
             if wr == rows:
@@ -1096,6 +1140,7 @@ def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
         wdepth=int(os.environ.get("RTF_TPU_SEG_WDEPTH", WDEPTH_DEFAULT)),
         subbits=os.environ.get("RTF_TPU_SEG_SUBBITS",
                                SUBBITS_DEFAULT) == "1",
+        subiv=os.environ.get("RTF_TPU_SEG_SUBIV", SUBIV_DEFAULT) == "1",
     )
 
 

@@ -32,6 +32,9 @@ VARIANTS = [
     ("subbits", {"RTF_TPU_SEG_SUBBITS": "1"}),
     ("subbits_group16", {"RTF_TPU_SEG_SUBBITS": "1",
                          "RTF_TPU_SEG_GROUP": "16"}),
+    ("subiv", {"RTF_TPU_SEG_SUBIV": "1"}),
+    ("subiv_group16", {"RTF_TPU_SEG_SUBIV": "1",
+                       "RTF_TPU_SEG_GROUP": "16"}),
 ]
 
 

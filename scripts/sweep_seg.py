@@ -41,6 +41,12 @@ VARIANTS = [
     ("subbits", {"RTF_TPU_SEG_SUBBITS": "1"}),
     ("subbits_wdepth4", {"RTF_TPU_SEG_SUBBITS": "1",
                          "RTF_TPU_SEG_WDEPTH": "4"}),
+    # sub-run [lo, hi) hull: the bitmask's win without its per-run
+    # cond/shift (which crash the remote Mosaic compiler)
+    ("subiv", {"RTF_TPU_SEG_SUBIV": "1"}),
+    ("subiv_chunk128", {"RTF_TPU_SEG_SUBIV": "1",
+                        "RTF_TPU_FUSED_CHUNK": "128"}),
+    ("subiv_sub8", {"RTF_TPU_SEG_SUBIV": "1", "RTF_TPU_FUSED_SUB": "8"}),
     # row-group culling granularity (default 0 = whole tile; measured
     # round 4 at the headline: 16/8/4 = 29.6/24.6/16.6 vs 31.0 — the
     # per-group cond + any-reduce overhead loses on coherent camera
