@@ -348,10 +348,15 @@ def _kernel(
                               jnp.maximum(t1z, t2z))
             return (near <= far) & (far > tmin_g) & (near <= bt)
 
-        def sub_body(si, carry):
+        def sub_body(si, carry, gate=None):
             def test_and_run(b):
                 enter = slab(subs[si, 0], subs[si, 1], subs[si, 2],
                              subs[si, 3], subs[si, 4], subs[si, 5], b[0])
+                hit_any = jnp.any(enter)
+                if gate is not None:
+                    # subiv path: the chunk-level occlusion gate rides
+                    # the per-sub predicate (see run_chunk note)
+                    hit_any = hit_any & gate
 
                 def run(bb):
                     # static 0..sub bounds (offset inside): `unroll`
@@ -360,7 +365,7 @@ def _kernel(
                         0, sub, lambda k, b2: tri_body(si * sub + k, b2),
                         bb, unroll=unroll)
 
-                return jax.lax.cond(jnp.any(enter), run, lambda bb: bb, b)
+                return jax.lax.cond(hit_any, run, lambda bb: bb, b)
 
             if not use_subbits:
                 return test_and_run(carry)
@@ -372,11 +377,20 @@ def _kernel(
                        chunks_ref[cc, 3], chunks_ref[cc, 4], chunks_ref[cc, 5],
                        carry[0])
 
+        if use_subiv:
+            # dynamic [lo, hi) bounds from the scalar-prefetch hull:
+            # provably-missed runs outside it are never visited. The
+            # dynamic-trip loop must NOT sit inside a lax.cond branch
+            # (that nesting crashes the remote Mosaic compiler —
+            # scripts/probe_mosaic.py p9/p12), so the chunk-level
+            # occlusion gate folds into the per-sub cond predicate
+            # instead of wrapping the loop.
+            chunk_any = jnp.any(entered)
+            return jax.lax.fori_loop(
+                siv_lo, siv_hi,
+                lambda si, b: sub_body(si, b, gate=chunk_any), carry)
+
         def run_chunk(b):
-            if use_subiv:
-                # dynamic [lo, hi) bounds from the scalar-prefetch hull:
-                # provably-missed runs outside it are never visited
-                return jax.lax.fori_loop(siv_lo, siv_hi, sub_body, b)
             return jax.lax.fori_loop(0, chunk // sub, sub_body, b)
 
         return jax.lax.cond(jnp.any(entered), run_chunk, lambda b: b, carry)

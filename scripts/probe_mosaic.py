@@ -131,6 +131,179 @@ print("VALUE-OK")
 """
 
 
+PROBES["p7_smem3d"] = COMMON + """
+# 3-D int32 scalar-prefetch array indexed [k, i, j] (the SUBIV hull
+# table shape) — isolates whether the subiv Mosaic crash is the SMEM
+# array rank rather than the dynamic loop bounds
+def kern(tab_ref, x_ref, o_ref):
+    lo = tab_ref[0, pl.program_id(0), 1]
+    hi = tab_ref[1, pl.program_id(0), 1]
+    o_ref[...] = x_ref[...] * (hi - lo).astype(jnp.float32)
+
+tab = jnp.tile(jnp.asarray([[[1, 2, 3]], [[4, 6, 8]]], jnp.int32), (1, 4, 1))
+x = jnp.ones((32, 128), jnp.float32)
+grid_spec = pltpu.PrefetchScalarGridSpec(
+    num_scalar_prefetch=1, grid=(4,),
+    in_specs=[pl.BlockSpec((8, 128), lambda i, t: (i, 0))],
+    out_specs=pl.BlockSpec((8, 128), lambda i, t: (i, 0)))
+out = pl.pallas_call(kern, grid_spec=grid_spec,
+                     out_shape=jax.ShapeDtypeStruct((32, 128), jnp.float32))(tab, x)
+np.testing.assert_allclose(np.asarray(out), 4.0)
+print("VALUE-OK")
+"""
+
+PROBES["p8_dynfori"] = COMMON + """
+# fori_loop with BOTH bounds dynamic (SMEM scalars), trivial body —
+# isolates the dynamic-trip-count lowering
+def kern(tab_ref, x_ref, o_ref):
+    lo = tab_ref[pl.program_id(0), 0]
+    hi = tab_ref[pl.program_id(0), 1]
+    def body(j, acc):
+        return acc + x_ref[...] * jnp.float32(1.0)
+    o_ref[...] = jax.lax.fori_loop(lo, hi, body, jnp.zeros((8, 128), jnp.float32))
+
+tab = jnp.tile(jnp.asarray([[1, 4]], jnp.int32), (4, 1))
+x = jnp.ones((32, 128), jnp.float32)
+grid_spec = pltpu.PrefetchScalarGridSpec(
+    num_scalar_prefetch=1, grid=(4,),
+    in_specs=[pl.BlockSpec((8, 128), lambda i, t: (i, 0))],
+    out_specs=pl.BlockSpec((8, 128), lambda i, t: (i, 0)))
+out = pl.pallas_call(kern, grid_spec=grid_spec,
+                     out_shape=jax.ShapeDtypeStruct((32, 128), jnp.float32))(tab, x)
+np.testing.assert_allclose(np.asarray(out), 3.0)
+print("VALUE-OK")
+"""
+
+PROBES["p9_dynfori_unroll"] = COMMON + """
+# dynamic-bound fori whose body contains cond + a fully-unrolled static
+# inner fori with SMEM scalar loads at a dynamic base — the exact subiv
+# run_chunk structure in miniature
+def kern(tab_ref, sm_ref, x_ref, o_ref):
+    lo = tab_ref[pl.program_id(0), 0]
+    hi = tab_ref[pl.program_id(0), 1]
+    x = x_ref[...]
+    def sub_body(si, acc):
+        v = sm_ref[si, 0]
+        enter = x * v > -1.0
+        def run(a):
+            def tri(k, a2):
+                return a2 + x * sm_ref[si, k]
+            return jax.lax.fori_loop(0, 4, tri, a, unroll=4)
+        return jax.lax.cond(jnp.any(enter), run, lambda a: a, acc)
+    o_ref[...] = jax.lax.fori_loop(lo, hi, sub_body,
+                                   jnp.zeros((8, 128), jnp.float32))
+
+tab = jnp.tile(jnp.asarray([[1, 3]], jnp.int32), (4, 1))
+sm = jnp.ones((8, 4), jnp.float32)
+x = jnp.ones((32, 128), jnp.float32)
+grid_spec = pltpu.PrefetchScalarGridSpec(
+    num_scalar_prefetch=1, grid=(4,),
+    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+              pl.BlockSpec((8, 128), lambda i, t: (i, 0))],
+    out_specs=pl.BlockSpec((8, 128), lambda i, t: (i, 0)))
+out = pl.pallas_call(kern, grid_spec=grid_spec,
+                     out_shape=jax.ShapeDtypeStruct((32, 128), jnp.float32))(tab, sm, x)
+np.testing.assert_allclose(np.asarray(out), 8.0)
+print("VALUE-OK")
+"""
+
+
+PROBES["p10_statfori_cond"] = COMMON + """
+# STATIC-bound fori whose body gates on a scalar hull compare (the
+# subiv fallback: keeps the loop static, adds one cond level keyed on
+# (si >= lo) & (si < hi) — no dynamic shift, no dynamic trip count)
+def kern(tab_ref, sm_ref, x_ref, o_ref):
+    lo = tab_ref[pl.program_id(0), 0]
+    hi = tab_ref[pl.program_id(0), 1]
+    x = x_ref[...]
+    def sub_body(si, acc):
+        inb = (si >= lo) & (si < hi)
+        def run(a):
+            def tri(k, a2):
+                return a2 + x * sm_ref[si, k]
+            return jax.lax.fori_loop(0, 4, tri, a, unroll=4)
+        return jax.lax.cond(inb, run, lambda a: a, acc)
+    o_ref[...] = jax.lax.fori_loop(0, 8, sub_body,
+                                   jnp.zeros((8, 128), jnp.float32))
+
+tab = jnp.tile(jnp.asarray([[1, 3]], jnp.int32), (4, 1))
+sm = jnp.ones((8, 4), jnp.float32)
+x = jnp.ones((32, 128), jnp.float32)
+grid_spec = pltpu.PrefetchScalarGridSpec(
+    num_scalar_prefetch=1, grid=(4,),
+    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+              pl.BlockSpec((8, 128), lambda i, t: (i, 0))],
+    out_specs=pl.BlockSpec((8, 128), lambda i, t: (i, 0)))
+out = pl.pallas_call(kern, grid_spec=grid_spec,
+                     out_shape=jax.ShapeDtypeStruct((32, 128), jnp.float32))(tab, sm, x)
+np.testing.assert_allclose(np.asarray(out), 8.0)
+print("VALUE-OK")
+"""
+
+PROBES["p11_dynshift"] = COMMON + """
+# dynamic scalar shift inside a static fori (the SUBBITS bitmask gate)
+def kern(tab_ref, sm_ref, x_ref, o_ref):
+    bits = tab_ref[pl.program_id(0), 0]
+    x = x_ref[...]
+    def sub_body(si, acc):
+        bit = jax.lax.shift_right_logical(bits, si) & 1
+        def run(a):
+            def tri(k, a2):
+                return a2 + x * sm_ref[si, k]
+            return jax.lax.fori_loop(0, 4, tri, a, unroll=4)
+        return jax.lax.cond(bit != 0, run, lambda a: a, acc)
+    o_ref[...] = jax.lax.fori_loop(0, 8, sub_body,
+                                   jnp.zeros((8, 128), jnp.float32))
+
+tab = jnp.tile(jnp.asarray([[6]], jnp.int32), (4, 1))  # bits 1,2 set
+sm = jnp.ones((8, 4), jnp.float32)
+x = jnp.ones((32, 128), jnp.float32)
+grid_spec = pltpu.PrefetchScalarGridSpec(
+    num_scalar_prefetch=1, grid=(4,),
+    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+              pl.BlockSpec((8, 128), lambda i, t: (i, 0))],
+    out_specs=pl.BlockSpec((8, 128), lambda i, t: (i, 0)))
+out = pl.pallas_call(kern, grid_spec=grid_spec,
+                     out_shape=jax.ShapeDtypeStruct((32, 128), jnp.float32))(tab, sm, x)
+np.testing.assert_allclose(np.asarray(out), 8.0)
+print("VALUE-OK")
+"""
+
+
+PROBES["p12_cond_dynfori"] = COMMON + """
+# dynamic-bound fori INSIDE a lax.cond branch (the subiv run_chunk
+# nesting: cond(any(entered)) -> fori(lo, hi)) — p9 tested the inverse
+def kern(tab_ref, sm_ref, x_ref, o_ref):
+    lo = tab_ref[pl.program_id(0), 0]
+    hi = tab_ref[pl.program_id(0), 1]
+    x = x_ref[...]
+    def sub_body(si, acc):
+        def run(a):
+            def tri(k, a2):
+                return a2 + x * sm_ref[si, k]
+            return jax.lax.fori_loop(0, 4, tri, a, unroll=4)
+        return jax.lax.cond(jnp.any(x * sm_ref[si, 0] > -1.0), run,
+                            lambda a: a, acc)
+    def run_chunk(b):
+        return jax.lax.fori_loop(lo, hi, sub_body, b)
+    o_ref[...] = jax.lax.cond(jnp.any(x > 0.0), run_chunk, lambda b: b,
+                              jnp.zeros((8, 128), jnp.float32))
+
+tab = jnp.tile(jnp.asarray([[1, 3]], jnp.int32), (4, 1))
+sm = jnp.ones((8, 4), jnp.float32)
+x = jnp.ones((32, 128), jnp.float32)
+grid_spec = pltpu.PrefetchScalarGridSpec(
+    num_scalar_prefetch=1, grid=(4,),
+    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+              pl.BlockSpec((8, 128), lambda i, t: (i, 0))],
+    out_specs=pl.BlockSpec((8, 128), lambda i, t: (i, 0)))
+out = pl.pallas_call(kern, grid_spec=grid_spec,
+                     out_shape=jax.ShapeDtypeStruct((32, 128), jnp.float32))(tab, sm, x)
+np.testing.assert_allclose(np.asarray(out), 8.0)
+print("VALUE-OK")
+"""
+
+
 def main() -> None:
     names = sys.argv[1:] or list(PROBES)
     for name in names:
