@@ -92,7 +92,9 @@ def run_once(width, height, frames):
     )
     total_rays = float(rays)
     dt = time.perf_counter() - t0
-    ntris = int(compiled.geometry.v0.shape[0])
+    # UNPADDED primitive count: v0.shape[0] carries up to 255 zero pad
+    # rows (~9% inflation on the 2.8k-row bench scene, VERDICT r3 weak 5)
+    ntris = int(compiled.num_tris or compiled.geometry.v0.shape[0])
     pairs_per_s = total_rays / dt * ntris
     return total_rays / dt / 1e6, pairs_per_s
 
@@ -280,7 +282,7 @@ def run_config6() -> dict:
     rows = cols = 52  # 2704 plants x ~384 tris ~= 1.04M triangles
     scene = build_canopy_scene(rows=rows, cols=cols)
     compiled = scene.build()
-    ntris = int(compiled.geometry.num_triangles)
+    ntris = int(compiled.num_tris or compiled.geometry.num_triangles)
     cam = CameraProperties(fov=60.0, size=(512, 512))
     cam.look_at_target((0.0, 6.0, 14.0), (0.0, 1.0, 0.0))
     config = RenderConfig(width=512, height=512, bounces=2, samples=1,

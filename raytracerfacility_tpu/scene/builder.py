@@ -795,6 +795,7 @@ def build_compiled_scene(
         btf=btf_table,
         bvh=bvh,
         pallas_tris=pallas_tris,
+        num_tris=int(num_tris),
     )
 
     # Fused whole-path mega-kernel tables (ops/pallas_fused.py): eligible

@@ -90,6 +90,11 @@ class CompiledScene:
     # ops/pallas_fused.auto_chunk); static — it selects kernel grids.
     # 0 = unset (legacy TRI_CHUNK default).
     fused_chunk: int = struct.field(pytree_node=False, default=0)
+    # UNPADDED primitive count (geometry.v0 carries up to
+    # pad_to_multiple-1 zero rows so kernel windows tile evenly); 0 =
+    # unknown (legacy callers). Roofline numerators must use this, not
+    # v0.shape[0] (a ~2.8k-row scene pads up to +255 rows ≈ 9%).
+    num_tris: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_instances(self) -> int:
