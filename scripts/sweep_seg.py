@@ -21,6 +21,13 @@ VARIANTS = [
     # after the round-4 2x2 A/B measured it at -1.2 Mrays/s (PERF.md)
     ("tiled", {"RTF_TPU_TILED_RAYGEN": "1"}),
     ("chunk128", {"RTF_TPU_FUSED_CHUNK": "128"}),
+    # finer level-1 culling via the PROVEN chunk mechanism (the sub-run
+    # scalar-prefetch levers crash the remote Mosaic compiler): smaller
+    # chunks = finer cull granularity + finer front-to-back ordering at
+    # the cost of more chunk_order rows + more per-chunk scalar steps
+    ("chunk64", {"RTF_TPU_FUSED_CHUNK": "64"}),
+    ("chunk64_sub8", {"RTF_TPU_FUSED_CHUNK": "64",
+                      "RTF_TPU_FUSED_SUB": "8"}),
     ("chunk128_sub8", {"RTF_TPU_FUSED_CHUNK": "128",
                        "RTF_TPU_FUSED_SUB": "8"}),
     ("sub8", {"RTF_TPU_FUSED_SUB": "8"}),
