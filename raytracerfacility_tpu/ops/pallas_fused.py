@@ -131,6 +131,14 @@ def pack_fused_tables(compiled, chunk: int | None = None,
     n = v0.shape[0]
     chunk = auto_chunk(n) if chunk is None else int(chunk)
     sub = SUB if sub is None else int(sub)
+    # fail fast on knob combos the TPU block-shape rules reject (the
+    # sub-AABB window is (chunk//sub, 8), so chunk//sub must be a
+    # positive multiple of 8) — a bad combo otherwise surfaces as an
+    # opaque Mosaic compile error deep inside the kernel call
+    if chunk % sub != 0 or (chunk // sub) % 8 != 0:
+        raise ValueError(
+            f"chunk={chunk} must be a multiple of sub={sub} with "
+            f"chunk//sub a multiple of 8 (TPU sub-AABB window shape)")
     centroid = v0 + (e1 + e2) / 3.0
     lo = jnp.min(jnp.minimum(v0, jnp.minimum(v0 + e1, v0 + e2)), axis=0)
     hi = jnp.max(jnp.maximum(v0, jnp.maximum(v0 + e1, v0 + e2)), axis=0)

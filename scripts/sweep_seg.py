@@ -24,8 +24,9 @@ VARIANTS = [
     # finer level-1 culling via the PROVEN chunk mechanism (the sub-run
     # scalar-prefetch levers crash the remote Mosaic compiler): smaller
     # chunks = finer cull granularity + finer front-to-back ordering at
-    # the cost of more chunk_order rows + more per-chunk scalar steps
-    ("chunk64", {"RTF_TPU_FUSED_CHUNK": "64"}),
+    # the cost of more chunk_order rows + more per-chunk scalar steps.
+    # NOTE chunk=64 requires SUB=8 (chunk//sub must be a multiple of 8 —
+    # pack_fused_tables asserts), hence no plain "chunk64" variant.
     ("chunk64_sub8", {"RTF_TPU_FUSED_CHUNK": "64",
                       "RTF_TPU_FUSED_SUB": "8"}),
     ("chunk128_sub8", {"RTF_TPU_FUSED_CHUNK": "128",
