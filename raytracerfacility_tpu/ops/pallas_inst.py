@@ -359,11 +359,7 @@ def _make_inst_kernel(unroll: int, chunk: int, sub: int):
     return _kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("interpret", "chunk", "sub"))
-def _trace_instanced(table, sub_aabbs, obj_chunks, inst, step_chunk,
-                     step_inst, step_aabbs, origin, direction, tmin, tmax,
-                     interpret=False, chunk=TRI_CHUNK, sub=SUB):
+def _pad_rays(origin, direction, tmin, tmax):
     r = origin.shape[0]
     block = BLOCK_ROWS * _LANES
     pad = (-r) % block
@@ -381,22 +377,39 @@ def _trace_instanced(table, sub_aabbs, obj_chunks, inst, step_chunk,
     def plane(x):
         return x.reshape(rows, _LANES)
 
-    ray_ins = (
+    return (
         plane(origin[:, 0]), plane(origin[:, 1]), plane(origin[:, 2]),
         plane(direction[:, 0]), plane(direction[:, 1]),
         plane(direction[:, 2]), plane(tmin), plane(tmax),
     )
-    nsteps = step_chunk.shape[0]
-    grid = (rows // BLOCK_ROWS, nsteps)
-    # per-tile front-to-back culled STEP order over the world step AABBs
-    # — culling and near-to-far ordering across instances and chunks at
-    # once (a provably-missed step repeats the previous step's object
-    # window, and same-chunk steps of different instances share windows:
-    # both elide the HBM->SMEM DMA)
+
+
+@jax.jit
+def _step_order(ray_ins, step_aabbs):
+    """Per-tile front-to-back culled STEP order over the world step
+    AABBs — culling and near-to-far ordering across instances and
+    chunks at once (a provably-missed step repeats the previous step's
+    object window, and same-chunk steps of different instances share
+    windows: both elide the HBM->SMEM DMA). Returns (order, skip,
+    max_visits): accepted steps are compacted to the order's FRONT
+    (chunk_order), so the kernel grid only needs max_visits columns —
+    the step axis is DATA-ADAPTIVE, the TPU-native answer to the
+    O(instances x chunks) step count of heavy instancing."""
     order, skip = chunk_order(
         ray_ins[0], ray_ins[1], ray_ins[2], ray_ins[3], ray_ins[4],
-        ray_ins[5], ray_ins[7] > ray_ins[6], step_aabbs[:nsteps],
+        ray_ins[5], ray_ins[7] > ray_ins[6], step_aabbs,
         BLOCK_ROWS)
+    visits = jnp.sum(1 - skip, axis=1)
+    return order, skip, jnp.max(visits)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "chunk", "sub"))
+def _trace_instanced(table, sub_aabbs, obj_chunks, inst, step_chunk,
+                     step_inst, order, skip, ray_ins,
+                     interpret=False, chunk=TRI_CHUNK, sub=SUB):
+    rows = ray_ins[0].shape[0]
+    grid = (rows // BLOCK_ROWS, order.shape[1])
     ray_spec = pl.BlockSpec((BLOCK_ROWS, _LANES),
                             lambda i, c, o, s, sc, si: (i, 0))
     tri_spec = pl.BlockSpec((chunk, _COLS),
@@ -415,7 +428,7 @@ def _trace_instanced(table, sub_aabbs, obj_chunks, inst, step_chunk,
         out_specs=[ray_spec] * 5,
     )
     unroll = 1 if interpret else sub
-    t, prim, iid, u, v = pl.pallas_call(
+    return pl.pallas_call(
         _make_inst_kernel(unroll, chunk, sub),
         grid_spec=grid_spec,
         out_shape=(out_shape,) * 5,
@@ -423,10 +436,12 @@ def _trace_instanced(table, sub_aabbs, obj_chunks, inst, step_chunk,
     )(order, skip, step_chunk, step_inst, table, sub_aabbs, obj_chunks,
       inst, *ray_ins)
 
-    def unplane(x):
-        return x.reshape(rp)[:r]
 
-    return unplane(t), unplane(prim), unplane(iid), unplane(u), unplane(v)
+# visit-step window buckets: the grid's step axis is sized to the
+# smallest bucket covering the max per-tile accepted-step count (one
+# device->host scalar read per trace call). Also caps the SMEM
+# footprint of the prefetched (tiles, L) order table.
+_STEP_BUCKETS = (64, 256, 1024, 4096, 16384)
 
 
 def trace_closest_instanced(tables, origin, direction, tmin, tmax,
@@ -445,12 +460,28 @@ def trace_closest_instanced(tables, origin, direction, tmin, tmax,
 
     batch, origin, direction, tmin_f, tmax_f = _flatten(
         origin, direction, tmin, tmax)
+    ray_ins = _pad_rays(origin, direction, tmin_f, tmax_f)
+    r = origin.shape[0]
+    rp = ray_ins[0].size
+
+    nsteps = int(tables["step_chunk"].shape[0])
+    order, skip, max_visits = _step_order(
+        ray_ins, tables["step_aabbs"][:nsteps])
+    mv = max(int(max_visits), 1)  # one device scalar read per trace
+    wsteps = next((b for b in _STEP_BUCKETS if b >= mv), None)
+    if wsteps is None or wsteps > nsteps:
+        wsteps = nsteps
     t, prim, iid, u, v = _trace_instanced(
         tables["table"], tables["sub_aabbs"], tables["obj_chunks"],
         tables["inst"], tables["step_chunk"], tables["step_inst"],
-        tables["step_aabbs"], origin, direction, tmin_f, tmax_f,
+        order[:, :wsteps], skip[:, :wsteps], ray_ins,
         interpret=bool(interpret), chunk=tables["chunk"],
         sub=tables["sub"])
+
+    def unplane(x):
+        return x.reshape(rp)[:r]
+
+    t, prim, iid, u, v = (unplane(x) for x in (t, prim, iid, u, v))
     prim_i = prim.astype(jnp.int32)
     hit = prim_i >= 0
     inst_i = jnp.where(hit, iid.astype(jnp.int32), -1)

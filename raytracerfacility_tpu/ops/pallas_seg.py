@@ -164,6 +164,12 @@ SUBBITS_DEFAULT = "0"
 # the hittable set nearly contiguous, so the hull is tight. Strictly
 # conservative (the in-kernel per-sub slab still guards every visited
 # run) -> bit-identical. Mutually exclusive with SUBBITS (SUBIV wins).
+# RTF_TPU_SEG_SUBIV=2 keeps the sub loop STATIC and instead gates each
+# run on a scalar (si >= lo) & (si < hi) cond — out-of-hull runs skip
+# the ~30-op slab + cross-lane any-reduce but still pay a scalar
+# compare + branch. This is the probe_mosaic p10 composition: no
+# dynamic trip count, no dynamic shift — the two constructs the remote
+# compiler rejects at full kernel scale (round-4 sweep).
 SUBIV_DEFAULT = "0"
 # BLOCK-PERMUTATION reorder (RTF_TPU_SEG_BPERM, rows per block; 0 = the
 # XLA multi-operand-sort reorder): between segments, instead of sorting
@@ -209,7 +215,7 @@ def _kernel(
     sub: int,
     group_rows: int,
     use_subbits: bool = False,
-    use_subiv: bool = False,
+    use_subiv: int = 0,
 ):
     # optional third scalar-prefetch arg: per-(tile, chunk) sub-run cull
     # bitmask (SUBBITS_DEFAULT) or [lo, hi) interval (SUBIV_DEFAULT)
@@ -377,7 +383,7 @@ def _kernel(
                        chunks_ref[cc, 3], chunks_ref[cc, 4], chunks_ref[cc, 5],
                        carry[0])
 
-        if use_subiv:
+        if use_subiv == 1:
             # dynamic [lo, hi) bounds from the scalar-prefetch hull:
             # provably-missed runs outside it are never visited. The
             # dynamic-trip loop must NOT sit inside a lax.cond branch
@@ -389,6 +395,22 @@ def _kernel(
             return jax.lax.fori_loop(
                 siv_lo, siv_hi,
                 lambda si, b: sub_body(si, b, gate=chunk_any), carry)
+
+        if use_subiv == 2:
+            # STATIC sub loop with a per-run scalar hull gate (the
+            # probe_mosaic p10 composition — no dynamic trip count, no
+            # dynamic shift): out-of-hull runs skip the slab + cross-
+            # lane any-reduce for one scalar compare + branch each
+            def gated(si, b):
+                inb = (si >= siv_lo) & (si < siv_hi)
+                return jax.lax.cond(inb, lambda bb: sub_body(si, bb),
+                                    lambda bb: bb, b)
+
+            def run_hull(b):
+                return jax.lax.fori_loop(0, chunk // sub, gated, b)
+
+            return jax.lax.cond(jnp.any(entered), run_hull,
+                                lambda b: b, carry)
 
         def run_chunk(b):
             return jax.lax.fori_loop(0, chunk // sub, sub_body, b)
@@ -570,13 +592,15 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("is_first", "has_cont", "xla_env", "rows",
-                     "block_rows", "interpret", "chunk", "group_rows"),
+                     "block_rows", "interpret", "chunk", "group_rows",
+                     "subiv_mode"),
 )
 def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
                   skip, state, is_first: bool, has_cont: bool, rows: int,
                   interpret: bool, xla_env: bool = False,
                   block_rows: int = 64, chunk: int = TRI_CHUNK,
-                  group_rows: int = 0, subbits=None, subiv=None):
+                  group_rows: int = 0, subbits=None, subiv=None,
+                  subiv_mode: int = 1):
     """One trace+shade segment over planar state ((rows, 128) planes).
 
     ``state`` = (ox, oy, oz, dx, dy, dz, rng(i32), act, tr, tg, tb,
@@ -641,7 +665,8 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
         num_mats=int(mat_table.shape[0]), nchunks=nchunks,
         block_rows=block_rows, unroll=resolve_unroll(interpret, sub),
         chunk=chunk, sub=sub, group_rows=group_rows,
-        use_subbits=use_subbits, use_subiv=use_subiv,
+        use_subbits=use_subbits,
+        use_subiv=subiv_mode if use_subiv else 0,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if (use_subbits or use_subiv) else 2,
@@ -792,7 +817,7 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         trace_window: bool = True, group_rows: int = 0,
                         bperm_rows: int = 0, bperm_from: int = 1,
                         bperm_exact: int = 0, wdepth: int = 3,
-                        subbits: bool = False, subiv: bool = False):
+                        subbits: bool = False, subiv: int = 0):
     r = origin.shape[0]
     block_rows = _pick_block_rows((r + _LANES - 1) // _LANES)
     block = block_rows * _LANES
@@ -975,7 +1000,8 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
     # sub-run cull bits need <= 32 sub-runs per chunk (int32 mask);
     # the [lo, hi) hull variant has no cap and wins the conflict
     sub_rows = table.shape[0] // sub_aabbs.shape[0]
-    use_siv = subiv
+    use_siv = subiv > 0
+    siv_mode = subiv if use_siv else 1
     use_sb = subbits and not use_siv and chunk // sub_rows <= 32
 
     prev = state
@@ -988,7 +1014,8 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
         table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order, skip,
         state, is_first=True, has_cont=bounces >= 1, rows=rows,
         interpret=interpret, xla_env=xla_env, block_rows=block_rows,
-        chunk=chunk, group_rows=group_rows, subbits=sb_tab, subiv=siv_tab)
+        chunk=chunk, group_rows=group_rows, subbits=sb_tab, subiv=siv_tab,
+        subiv_mode=siv_mode)
     total_live = live0
     if xla_env:
         state, light, m = add_env(state, prev, miss)
@@ -1029,7 +1056,8 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                 skip, sub, is_first=False, has_cont=has_cont, rows=wr,
                 interpret=interpret, xla_env=xla_env,
                 block_rows=block_rows, chunk=chunk,
-                group_rows=group_rows, subbits=sb_tab, subiv=siv_tab)
+                group_rows=group_rows, subbits=sb_tab, subiv=siv_tab,
+                subiv_mode=siv_mode)
             if xla_env:
                 out, _, _ = add_env(out, sub, miss, n=wr * _LANES)
             if wr == rows:
@@ -1154,7 +1182,7 @@ def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
         wdepth=int(os.environ.get("RTF_TPU_SEG_WDEPTH", WDEPTH_DEFAULT)),
         subbits=os.environ.get("RTF_TPU_SEG_SUBBITS",
                                SUBBITS_DEFAULT) == "1",
-        subiv=os.environ.get("RTF_TPU_SEG_SUBIV", SUBIV_DEFAULT) == "1",
+        subiv=int(os.environ.get("RTF_TPU_SEG_SUBIV", SUBIV_DEFAULT)),
     )
 
 

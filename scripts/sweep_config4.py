@@ -35,6 +35,14 @@ VARIANTS = [
     ("subiv", {"RTF_TPU_SEG_SUBIV": "1"}),
     ("subiv_group16", {"RTF_TPU_SEG_SUBIV": "1",
                        "RTF_TPU_SEG_GROUP": "16"}),
+    # static-loop hull gate (probe_mosaic p10 composition; see
+    # pallas_seg SUBIV_DEFAULT) — the SUBIV variant that avoids the
+    # dynamic-trip-count construct Mosaic rejects at full kernel scale
+    ("subiv2", {"RTF_TPU_SEG_SUBIV": "2"}),
+    ("subiv2_group16", {"RTF_TPU_SEG_SUBIV": "2",
+                        "RTF_TPU_SEG_GROUP": "16"}),
+    ("subiv2_dbits1", {"RTF_TPU_SEG_SUBIV": "2",
+                       "RTF_TPU_SEG_DBITS": "1"}),
 ]
 
 

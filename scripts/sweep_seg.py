@@ -55,6 +55,12 @@ VARIANTS = [
     ("subiv_chunk128", {"RTF_TPU_SEG_SUBIV": "1",
                         "RTF_TPU_FUSED_CHUNK": "128"}),
     ("subiv_sub8", {"RTF_TPU_SEG_SUBIV": "1", "RTF_TPU_FUSED_SUB": "8"}),
+    # static-loop hull gate (probe_mosaic p10 composition: no dynamic
+    # trip count / shift — the constructs Mosaic rejects at full scale)
+    ("subiv2", {"RTF_TPU_SEG_SUBIV": "2"}),
+    ("subiv2_sub8", {"RTF_TPU_SEG_SUBIV": "2", "RTF_TPU_FUSED_SUB": "8"}),
+    ("subiv2_chunk128", {"RTF_TPU_SEG_SUBIV": "2",
+                         "RTF_TPU_FUSED_CHUNK": "128"}),
     # row-group culling granularity (default 0 = whole tile; measured
     # round 4 at the headline: 16/8/4 = 29.6/24.6/16.6 vs 31.0 — the
     # per-group cond + any-reduce overhead loses on coherent camera

@@ -244,20 +244,24 @@ def test_sub_run_bits_bitexact(monkeypatch):
     assert float(np.asarray(frame_n.color).std()) > 0.02
 
 
-def test_sub_run_interval_bitexact(monkeypatch):
+@pytest.mark.parametrize("mode", ["1", "2"])
+def test_sub_run_interval_bitexact(monkeypatch, mode):
     """RTF_TPU_SEG_SUBIV=1 precomputes, per (tile, chunk), the [lo, hi)
     HULL of sub-runs the tile's live-ray bundle may hit and runs the
     kernel's sub loop as fori_loop(lo, hi) — runs outside the hull are
-    never visited at all. The hull is conservative (a superset of the
-    hittable runs) and the in-kernel per-sub slab still guards every
-    visited run, so results are BIT-IDENTICAL to the untabled engine."""
+    never visited at all. SUBIV=2 keeps the loop static and gates each
+    run on a scalar (si >= lo) & (si < hi) cond instead (the
+    probe_mosaic p10 composition — no dynamic trip count). The hull is
+    conservative (a superset of the hittable runs) and the in-kernel
+    per-sub slab still guards every visited run, so results are
+    BIT-IDENTICAL to the untabled engine either way."""
     compiled_f, cam, env = _scene("1", monkeypatch)
     config = RenderConfig(
         width=48, height=48, bounces=4, samples=1,
         enable_textures=False, enable_vertex_color=False,
         samples_in_lanes=True)
     monkeypatch.setenv("RTF_TPU_SORTED", "1")
-    monkeypatch.setenv("RTF_TPU_SEG_SUBIV", "1")
+    monkeypatch.setenv("RTF_TPU_SEG_SUBIV", mode)
     frame_v, rays_v = render_frame_counted_jit(
         compiled_f, cam, env, config, init_frame(48, 48))
     monkeypatch.delenv("RTF_TPU_SEG_SUBIV")
