@@ -172,7 +172,7 @@ def run_config3() -> dict:
     from raytracerfacility_tpu.ops.camera import CameraProperties
     from raytracerfacility_tpu.scene import (
         MaterialProperties, RayTracerScene, make_sphere)
-    from tests.test_mlvq import synthetic_btf
+    from raytracerfacility_tpu.mlvq.synthetic import synthetic_btf
 
     scene = RayTracerScene()
     scene.upsert_geometry(1, version=0, mesh=make_sphere(0.6, rings=24,
@@ -303,46 +303,12 @@ def run_config7() -> dict:
     stays coherence-sorted across segments (models/pathtracer.py
     ::_sorted_state_loop, bit-identical to the unsorted loop —
     tests/test_fused.py::test_sorted_state_curves_bitexact)."""
-    import numpy as np
-
-    from raytracerfacility_tpu.enums import GeometryType, RendererType
     from raytracerfacility_tpu.models.pathtracer import RenderConfig
     from raytracerfacility_tpu.models.renderer import EnvironmentProperties
     from raytracerfacility_tpu.ops.camera import CameraProperties
-    from raytracerfacility_tpu.scene import (
-        MaterialProperties, RayTracerScene, make_plane)
+    from raytracerfacility_tpu.scene.procedural import build_strands_scene
 
-    rng = np.random.default_rng(7)
-    n_strands = 800
-    points, segments = [], []
-    for _ in range(n_strands):
-        root = np.array([rng.normal(0, 0.25), 0.0, rng.normal(0, 0.25)],
-                        np.float32)
-        sway = rng.normal(0, 0.12, size=2)
-        # 4 control points: root -> drooping tip (one cubic segment each,
-        # 6 swept sub-segments after subdivision)
-        ctrl = [root,
-                root + [sway[0] * 0.3, 0.45, sway[1] * 0.3],
-                root + [sway[0] * 0.8, 0.85, sway[1] * 0.8],
-                root + [sway[0] * 1.4, 1.0 + rng.normal(0, 0.1),
-                        sway[1] * 1.4]]
-        radii = (0.012, 0.009, 0.006, 0.003)
-        segments.append(len(points))
-        for p, r in zip(ctrl, radii):
-            points.append([*p, r, 0.35, 0.25, 0.12, 1.0])
-    scene = RayTracerScene()
-    scene.upsert_geometry(
-        1, version=0, renderer_type=RendererType.CURVE,
-        geometry_type=GeometryType.CUBIC_BSPLINE,
-        strand_points=np.asarray(points, np.float32),
-        curve_segments=np.asarray(segments, np.int32))
-    scene.upsert_material(2, version=0, properties=MaterialProperties(
-        albedo_color=(0.35, 0.25, 0.12), roughness=0.9, metallic=0.0))
-    scene.upsert_instance(3, version=0, geometry=1, material=2)
-    scene.upsert_geometry(4, version=0, mesh=make_plane(4.0))
-    scene.upsert_material(5, version=0, properties=MaterialProperties(
-        albedo_color=(0.55, 0.55, 0.55), roughness=1.0, metallic=0.0))
-    scene.upsert_instance(6, version=0, geometry=4, material=5)
+    scene = build_strands_scene(n_strands=800, seed=7)
     cam = CameraProperties(fov=50.0, size=(512, 512))
     cam.look_at_target((0.0, 0.9, 2.4), (0.0, 0.55, 0.0))
     config = RenderConfig(width=512, height=512, bounces=2, samples=1,

@@ -846,3 +846,66 @@ def build_compiled_scene(
                         auto_chunk(compiled.geometry.num_triangles))))
 
     return compiled
+
+
+def compile_shared_instanced(scene, chunk: int = 2048, sub: int = 32):
+    """Shared-geometry instanced trace tables from a RayTracerScene —
+    the O(unique triangles) alternative to the denormalized world bake
+    for heavy-instancing scenes (the reference's shared-BLAS + instance
+    records, ref RayTracer.cu:1618-1715 / OptixInstance :1663-1670).
+
+    Every DEFAULT/INSTANCED mesh instance becomes one instance record
+    (member transform composed with the geometry's sub-instance
+    matrices); geometry is baked ONCE per (geometry, version) in object
+    space. Curves and skinned meshes are not shared (their bake depends
+    on transform/bones) and raise.
+
+    Returns the table dict for
+    :func:`raytracerfacility_tpu.ops.pallas_inst.trace_closest_instanced`
+    plus ``instance_material`` ((I,) material slot per instance record,
+    indexing ``scene``'s material order) in the same dict.
+    """
+    from raytracerfacility_tpu.ops.pallas_inst import pack_instanced_tables
+
+    geoms = []           # object-space (v0, e1, e2) per unique geometry
+    geom_index: dict = {}
+    instance_geom: list = []
+    matrices: list = []
+    inst_material: list = []
+    mat_slots = {k: i for i, k in enumerate(scene.materials)}
+
+    for handle, inst in scene.instances.items():
+        geom = scene.geometries.get(inst.geometry_key)
+        if geom is None or inst.material_key not in scene.materials:
+            continue
+        if geom.renderer_type not in (RendererType.DEFAULT,
+                                      RendererType.INSTANCED):
+            raise ValueError(
+                f"shared instancing requires mesh geometry; instance "
+                f"{handle} has renderer_type={geom.renderer_type}")
+        gkey = (inst.geometry_key, geom.version)
+        if gkey not in geom_index:
+            obj = _geometry_object_bake(geom)
+            if obj is None:
+                continue
+            geom_index[gkey] = len(geoms)
+            geoms.append((obj["v0"], obj["e1"], obj["e2"]))
+        g = geom_index[gkey]
+        if geom.renderer_type == RendererType.INSTANCED:
+            sub_mats = np.asarray(geom.instance_matrices, np.float32)
+        else:
+            sub_mats = np.eye(4, dtype=np.float32)[None]
+        for m in np.einsum("pq,sqr->spr",
+                           np.asarray(inst.global_transform, np.float32),
+                           sub_mats):
+            instance_geom.append(g)
+            matrices.append(m)
+            inst_material.append(mat_slots[inst.material_key])
+
+    if not geoms:
+        raise ValueError("no mesh instances to compile")
+    tables = pack_instanced_tables(
+        geoms, np.asarray(instance_geom, np.int32), matrices,
+        chunk=chunk, sub=sub)
+    tables["instance_material"] = np.asarray(inst_material, np.int32)
+    return tables

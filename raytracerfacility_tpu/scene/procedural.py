@@ -190,3 +190,79 @@ def build_canopy_scene(rows: int = 10, cols: int = 10, variants: int = 4,
     scene.upsert_geometry(50, version=0, mesh=ground)
     scene.upsert_instance(150, version=0, geometry=50, material=2)
     return scene
+
+
+def build_strands_scene(n_strands: int = 800, seed: int = 7):
+    """Hair tuft of cubic B-spline strands over a ground plane (the
+    BASELINE config-7 workload; shared with the denoiser's curve-scene
+    training/eval group). The reference traces curves via builtin IS
+    modules in its one pipeline (ref RayTracer.cu:1773-1787)."""
+    from raytracerfacility_tpu.enums import GeometryType, RendererType
+    from raytracerfacility_tpu.scene import (
+        MaterialProperties, RayTracerScene, make_plane)
+
+    rng = np.random.default_rng(seed)
+    points, segments = [], []
+    for _ in range(n_strands):
+        root = np.array([rng.normal(0, 0.25), 0.0, rng.normal(0, 0.25)],
+                        np.float32)
+        sway = rng.normal(0, 0.12, size=2)
+        # 4 control points: root -> drooping tip (one cubic segment each,
+        # 6 swept sub-segments after subdivision)
+        ctrl = [root,
+                root + [sway[0] * 0.3, 0.45, sway[1] * 0.3],
+                root + [sway[0] * 0.8, 0.85, sway[1] * 0.8],
+                root + [sway[0] * 1.4, 1.0 + rng.normal(0, 0.1),
+                        sway[1] * 1.4]]
+        radii = (0.012, 0.009, 0.006, 0.003)
+        segments.append(len(points))
+        for p, r in zip(ctrl, radii):
+            points.append([*p, r, 0.35, 0.25, 0.12, 1.0])
+    scene = RayTracerScene()
+    scene.upsert_geometry(
+        1, version=0, renderer_type=RendererType.CURVE,
+        geometry_type=GeometryType.CUBIC_BSPLINE,
+        strand_points=np.asarray(points, np.float32),
+        curve_segments=np.asarray(segments, np.int32))
+    scene.upsert_material(2, version=0, properties=MaterialProperties(
+        albedo_color=(0.35, 0.25, 0.12), roughness=0.9, metallic=0.0))
+    scene.upsert_instance(3, version=0, geometry=1, material=2)
+    scene.upsert_geometry(4, version=0, mesh=make_plane(4.0))
+    scene.upsert_material(5, version=0, properties=MaterialProperties(
+        albedo_color=(0.55, 0.55, 0.55), roughness=1.0, metallic=0.0))
+    scene.upsert_instance(6, version=0, geometry=4, material=5)
+    return scene
+
+
+def build_btf_sphere_scene(seed: int = 2):
+    """CompressedBTF (MLVQ) material on a curved mesh (the BASELINE
+    config-3 workload; shared with the denoiser's BTF training/eval
+    group). Uses the synthetic BTF fixture so no dataset download is
+    needed (ref CompressedBTF.cpp importer)."""
+    from raytracerfacility_tpu.enums import MaterialType
+    from raytracerfacility_tpu.scene import (
+        MaterialProperties, RayTracerScene, make_sphere)
+    from raytracerfacility_tpu.mlvq.synthetic import synthetic_btf
+
+    scene = RayTracerScene()
+    scene.upsert_geometry(1, version=0, mesh=make_sphere(0.6, rings=24,
+                                                         sectors=48))
+    scene.upsert_material(2, version=0,
+                          material_type=MaterialType.COMPRESSED_BTF,
+                          btf=synthetic_btf(seed=seed))
+    scene.upsert_instance(3, version=0, geometry=1, material=2)
+    scene.upsert_geometry(4, version=0, mesh=make_plane_under_sphere())
+    scene.upsert_material(5, version=0, properties=MaterialProperties(
+        albedo_color=(0.5, 0.5, 0.5), roughness=1.0, metallic=0.0))
+    scene.upsert_instance(6, version=0, geometry=4, material=5)
+    return scene
+
+
+def make_plane_under_sphere():
+    from raytracerfacility_tpu.scene import make_plane
+
+    m = make_plane(3.0)
+    p = m.positions.copy()
+    p[:, 1] -= 0.65
+    return type(m)(positions=p, triangles=m.triangles, normals=m.normals,
+                   tex_coords=m.tex_coords)

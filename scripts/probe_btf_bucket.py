@@ -31,7 +31,7 @@ def tm(fn, *args, n=5):
 def main():
     import raytracerfacility_tpu.models.pathtracer as pt
     from raytracerfacility_tpu.mlvq.btf import table_from_data
-    from tests.test_mlvq import synthetic_btf
+    from raytracerfacility_tpu.mlvq.synthetic import synthetic_btf
 
     R = 65536
     rng = np.random.default_rng(0)

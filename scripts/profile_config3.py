@@ -31,7 +31,7 @@ def main():
     from raytracerfacility_tpu.ops.camera import CameraProperties
     from raytracerfacility_tpu.scene import (
         MaterialProperties, RayTracerScene, make_sphere)
-    from tests.test_mlvq import synthetic_btf
+    from raytracerfacility_tpu.mlvq.synthetic import synthetic_btf
 
     scene = RayTracerScene()
     scene.upsert_geometry(1, version=0, mesh=make_sphere(0.6, rings=24,

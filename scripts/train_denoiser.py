@@ -65,18 +65,42 @@ def _scenes(group: int):
             c = CameraProperties(fov=80.0, size=(TILE, TILE))
             c.look_at_target(*pose)
             out.append((compiled2, c))
-    else:
+    elif group == 2:
         compiled3 = build_canopy_scene(rows=5, cols=5).build()
         for pose in [((1.5, 1.8, 1.5), (0.0, 0.6, 0.0)),
                      ((0.0, 2.5, 2.5), (0.0, 0.2, 0.0))]:
             c = CameraProperties(fov=60.0, size=(TILE, TILE))
             c.look_at_target(*pose)
             out.append((compiled3, c))
+    elif group == 3:
+        # curve strands (config-7 workload): swept-cone silhouettes are
+        # a noise structure none of the mesh scenes produce
+        from raytracerfacility_tpu.scene.procedural import (
+            build_strands_scene)
+
+        compiled4 = build_strands_scene(n_strands=600, seed=11).build()
+        for pose in [((0.0, 0.9, 2.4), (0.0, 0.55, 0.0)),
+                     ((1.6, 1.3, 1.2), (0.0, 0.5, 0.0))]:
+            c = CameraProperties(fov=55.0, size=(TILE, TILE))
+            c.look_at_target(*pose)
+            out.append((compiled4, c))
+    else:
+        # CompressedBTF sphere (config-3 workload): high-frequency
+        # angular texture the albedo AOV cannot explain
+        from raytracerfacility_tpu.scene.procedural import (
+            build_btf_sphere_scene)
+
+        compiled5 = build_btf_sphere_scene(seed=2).build()
+        for pose in [((0.0, 0.4, 2.2), (0.0, 0.0, 0.0)),
+                     ((1.4, 0.9, 1.4), (0.0, -0.1, 0.0))]:
+            c = CameraProperties(fov=60.0, size=(TILE, TILE))
+            c.look_at_target(*pose)
+            out.append((compiled5, c))
     return out
 
 
 DATA_PATH = "/tmp/denoiser_pairs_{}.npz"
-GROUPS = 3
+GROUPS = 5
 
 
 def out_path() -> str:
@@ -90,7 +114,8 @@ def render_data(group: int) -> None:
     (split so each stage fits the runtime's watchdog budget)."""
     env = EnvironmentProperties(skylight_intensity=1.0)
     config = RenderConfig(width=TILE, height=TILE, bounces=4, samples=1,
-                          enable_textures=False, enable_vertex_color=False)
+                          enable_textures=False, enable_vertex_color=False,
+                          enable_btf=group == 4)
     batches = []
     t0 = time.time()
     for si, (compiled, cam) in enumerate(_scenes(group)):
@@ -114,7 +139,7 @@ def main() -> None:
     t0 = time.time()
     parts = [np.load(DATA_PATH.format(g)) for g in range(GROUPS)
              if os.path.exists(DATA_PATH.format(g))]
-    assert parts, "run --render 0|1|2 first"
+    assert parts, "run --render 0..4 first"
     data = tuple(
         jnp.asarray(np.concatenate([p[k] for p in parts], axis=0))
         for k in ("noisy", "albedo", "normal", "clean"))

@@ -43,26 +43,89 @@ from tests.test_smoke import build_test_scene
 # input scores ~0.10 and a gaussian blur ~0.35 on this measure
 SSIM_GATE = 0.60
 
-_GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
-                       "denoiser_clean_96.npy")
+_GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
+_GOLDEN = os.path.join(_GOLDENS, "denoiser_clean_96.npy")
 
 
-@pytest.fixture(scope="module")
-def frames():
+def _cornell():
     compiled = build_test_scene().build()
     cam = CameraProperties(fov=75.0, size=(96, 96))
     # held-out pose (training used (0,1,2.4)/(1.5,1.2,1.8)-style poses);
     # MUST match scripts/render_denoiser_golden.py
     cam.look_at_target((-1.3, 1.7, 1.9), (0.2, 0.6, 0.0))
+    return compiled, cam
+
+
+def _strands():
+    from raytracerfacility_tpu.scene.procedural import build_strands_scene
+
+    cam = CameraProperties(fov=55.0, size=(96, 96))
+    cam.look_at_target((-1.2, 1.1, 1.8), (0.0, 0.5, 0.0))
+    return build_strands_scene(n_strands=600, seed=11).build(), cam
+
+
+def _canopy():
+    from raytracerfacility_tpu.scene.procedural import build_canopy_scene
+
+    cam = CameraProperties(fov=60.0, size=(96, 96))
+    cam.look_at_target((-1.3, 2.0, 1.8), (0.0, 0.4, 0.0))
+    return build_canopy_scene(rows=5, cols=5).build(), cam
+
+
+# eval set: (scene builder, pinned golden, absolute SSIM gate). The
+# curve scene gates the swept-cone silhouette noise structure the
+# training set gained in round 5; gates are set a margin under the
+# measured checkpoint scores so a real regression fails loudly.
+_EVAL_SCENES = {
+    "cornell": (_cornell, "denoiser_clean_96.npy", SSIM_GATE),
+    "strands": (_strands, "denoiser_clean_strands_96.npy", 0.75),
+    "canopy": (_canopy, "denoiser_clean_canopy_96.npy", 0.75),
+}
+
+
+def _render_noisy(compiled, cam):
     env = EnvironmentProperties().state()
     base = RenderConfig(width=96, height=96, bounces=3, samples=1,
                         accumulate=False, enable_textures=False,
                         enable_vertex_color=False)
-    noisy = render_frame_jit(
+    return render_frame_jit(
         compiled, cam.state(), env, base,
         dataclasses.replace(init_frame(96, 96), frame_id=jnp.int32(31)))
-    clean = np.load(_GOLDEN)
-    return noisy, clean
+
+
+@pytest.fixture(scope="module")
+def frames():
+    compiled, cam = _cornell()
+    return _render_noisy(compiled, cam), np.load(_GOLDEN)
+
+
+@pytest.mark.parametrize("scene", sorted(_EVAL_SCENES))
+def test_packaged_denoiser_eval_scenes(scene):
+    """Per-scene quality gate on held-out poses: denoised 1 spp must
+    beat the noisy input by a clear SSIM margin AND clear the scene's
+    absolute bar against its pinned converged golden (the reference
+    ships a production denoiser, ref RayTracer.cu:508-556 — matching it
+    means holding quality across the feature envelope, not one room)."""
+    den = default_denoiser()
+    if den is None:
+        pytest.fail("no packaged denoiser checkpoint")
+    build, golden, gate = _EVAL_SCENES[scene]
+    path = os.path.join(_GOLDENS, golden)
+    if not os.path.exists(path):
+        pytest.fail(f"missing pinned golden {golden} "
+                    "(run scripts/render_denoiser_golden.py)")
+    compiled, cam = build()
+    noisy = _render_noisy(compiled, cam)
+    clean = np.load(path)
+    denoised = np.asarray(den.denoise(
+        noisy.color[..., :3], noisy.albedo[..., :3],
+        noisy.normal[..., :3]))
+    n = np.asarray(noisy.color[..., :3])
+    s_noisy = ssim(n, clean)
+    s_den = ssim(denoised, clean)
+    assert np.isfinite(denoised).all()
+    assert s_den > s_noisy + 0.15, (scene, s_noisy, s_den)
+    assert s_den > gate, (scene, s_noisy, s_den)
 
 
 def test_packaged_denoiser_quality(frames):

@@ -174,3 +174,43 @@ def test_instanced_memory_scaling():
     assert t64["table"].shape == t4["table"].shape  # shared geometry
     assert t64["inst"].shape[0] == 64
     assert t64["step_chunk"].shape[0] == 64 * t4["step_chunk"].shape[0] // 4
+
+
+def test_compile_shared_instanced_from_scene():
+    """The public scene API path: an INSTANCED-renderer canopy compiled
+    to shared tables traces to the same image-level hits as the
+    denormalized build's brute trace."""
+    import jax.numpy as jnp
+    from raytracerfacility_tpu.scene.builder import compile_shared_instanced
+    from raytracerfacility_tpu.scene.procedural import build_canopy_scene
+
+    scene = build_canopy_scene(rows=3, cols=3, variants=2)
+    # drop the plain (DEFAULT) ground plane into the shared tables too
+    tables = compile_shared_instanced(scene, chunk=256, sub=32)
+    n_inst = int(tables["inst"].shape[0])
+    assert n_inst >= 9 + 1  # 9 plants + ground
+    assert tables["instance_material"].shape == (n_inst,)
+
+    compiled = scene.build()  # denormalized reference
+    from raytracerfacility_tpu.ops.intersect import trace_closest_bruteforce
+
+    r = 600
+    rng = np.random.default_rng(12)
+    o = jnp.asarray(np.array([[0.0, 2.2, 2.2]], np.float32)
+                    + np.zeros((r, 3), np.float32))
+    d = (rng.standard_normal((r, 3)) * 0.5).astype(np.float32)
+    d[:, 1] -= 1.2  # look down into the canopy + ground
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmin = jnp.full(r, 1e-3, jnp.float32)
+    tmax = jnp.full(r, 100.0, jnp.float32)
+    res, iid = trace_closest_instanced(tables, o, d, tmin, tmax)
+    g = compiled.geometry
+    ref = trace_closest_bruteforce(g.v0, g.e1, g.e2, o, d, tmin, tmax)
+    hit_agree = np.asarray(res.hit) == np.asarray(ref.hit)
+    assert np.asarray(ref.hit).sum() > 100
+    assert hit_agree.mean() > 0.99
+    both = np.asarray(res.hit) & np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(res.t)[both],
+                               np.asarray(ref.t)[both],
+                               rtol=2e-3, atol=2e-3)
