@@ -200,6 +200,19 @@ BPERM_FROM_DEFAULT = "1"
 # permutations, a ray's arithmetic never depends on its lane, and the
 # final unsort restores original order.
 BPERM_EXACT_DEFAULT = "0"
+# STATIC PHASE SPLIT (RTF_TPU_SEG_SPLIT = s0; 0 = off): right after the
+# reorder entering bounce segment s0, pick the smallest static
+# tile-aligned pool width covering the (exactly compacted) live prefix
+# via one lax.cond cascade, and run ALL remaining segments on genuinely
+# sliced planes — the frozen dead tail is concatenated back once at the
+# end. Attacks the ~18-21 ms/segment reorder floor that survives even
+# 1/8 sort windows (PERF.md round 4): that floor is the full-pool-width
+# tail CONCATENATES (15 sort + 14 trace planes per segment), which the
+# per-segment windows cannot remove but a real pool slice does.
+# Bit-identical (same dead-lane invariants as the windows; test
+# tests/test_fused.py::test_seg_split_bitexact). Ignored when
+# REORDER_EVERY > 1, bperm, or block-local sorts are active.
+SPLIT_DEFAULT = "0"
 
 
 def _kernel(
@@ -806,7 +819,7 @@ def _apply_block_perm(perm, planes, brows: int, interpret: bool):
                      "atmos_samples", "atmos_samples_light", "sort_block",
                      "chunk", "trace_window", "group_rows", "bperm_rows",
                      "bperm_from", "bperm_exact", "wdepth", "subbits",
-                     "subiv"))
+                     "subiv", "split"))
 def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         direction, rng, valid, env_vec, bounces: int,
                         presort: bool = False, interpret: bool = False,
@@ -817,7 +830,8 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         trace_window: bool = True, group_rows: int = 0,
                         bperm_rows: int = 0, bperm_from: int = 1,
                         bperm_exact: int = 0, wdepth: int = 3,
-                        subbits: bool = False, subiv: int = 0):
+                        subbits: bool = False, subiv: int = 0,
+                        split: int = 0):
     r = origin.shape[0]
     block_rows = _pick_block_rows((r + _LANES - 1) // _LANES)
     block = block_rows * _LANES
@@ -865,7 +879,7 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                   if sort_block > 0 else 0)
     nb = rp // block_rays if block_rays and rp % block_rays == 0 else 1
 
-    def reorder(state, orig_idx, prev_live=None):
+    def _reorder_at(rp_w: int, wdepth_w: int):
         # ONE multi-operand lax.sort carrying the whole ray state as
         # payloads. Measured on-chip at 2M rays: argsort + stacked
         # row-gather nets ~39 ms (the gather dominates at ~33 ms), while
@@ -890,49 +904,64 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
         # final unsort restores original order exactly). At 8 bounces
         # the reorder was 101 ms of a 360 ms frame, with segments 4+
         # paying more for the sort than the trace it enables.
-        key = _morton_key(state[0], state[1], state[2],
-                          state[3], state[4], state[5], state[7],
-                          lo, inv_extent)
-        f32s = [p.reshape(rp) for p in state[:6] + state[8:]]
-        i32s = [state[6].reshape(rp), orig_idx.reshape(rp)]
-        ops = [key.reshape(rp)] + f32s + i32s
+        #
+        # Width-parameterized (rp_w rays): the static phase split (see
+        # RTF_TPU_SEG_SPLIT below) runs late-bounce reorders on a
+        # genuinely sliced prefix, so even the window tails' full-pool
+        # concatenates shrink to the split width.
+        rows_w = rp_w // _LANES
 
-        def sort_window(w):
-            def f(o):
-                sub = o if w == rp else tuple(x[:w] for x in o)
-                outs = jax.lax.sort(sub, num_keys=1)
-                if w == rp:
-                    return outs
-                return tuple(jnp.concatenate([s, full[w:]])
-                             for s, full in zip(outs, o))
-            return f
+        def plane_w(x):
+            return x.reshape(rows_w, _LANES)
 
-        if nb > 1:
-            # block-local: lax.sort batches over leading dims for free
-            bops = tuple(o.reshape(nb, rp // nb) for o in ops)
-            outs = jax.lax.sort(bops, num_keys=1)
-            outs = tuple(o.reshape(rp) for o in outs)
-        elif prev_live is None or rp < (1 << wdepth) * block:
-            outs = sort_window(rp)(tuple(ops))
-        else:
-            # cond cascade from the smallest window (rp >> wdepth) up to
-            # the full pool; structurally the round-3 fixed /2 /4 /8
-            # cascade at wdepth=3
-            def cascade(k):
-                if k == 0:
-                    return sort_window(rp)
-                return lambda o: jax.lax.cond(
-                    prev_live <= float(rp >> k), sort_window(rp >> k),
-                    cascade(k - 1), o)
+        def reorder_w(state, orig_idx, prev_live=None):
+            key = _morton_key(state[0], state[1], state[2],
+                              state[3], state[4], state[5], state[7],
+                              lo, inv_extent)
+            f32s = [p.reshape(rp_w) for p in state[:6] + state[8:]]
+            i32s = [state[6].reshape(rp_w), orig_idx.reshape(rp_w)]
+            ops = [key.reshape(rp_w)] + f32s + i32s
 
-            outs = cascade(wdepth)(tuple(ops))
-        key_s = outs[0].reshape(rp)
-        act = plane((key_s != jnp.int32(2147483647)).astype(jnp.float32))
-        p6 = [plane(o.reshape(rp)) for o in outs[1:7]]
-        rest = [plane(o.reshape(rp)) for o in outs[7:13]]
-        rng_p = plane(outs[13].reshape(rp))
-        state = (*p6, rng_p, act, *rest)
-        return state, plane(outs[14].reshape(rp))
+            def sort_window(w):
+                def f(o):
+                    sub = o if w == rp_w else tuple(x[:w] for x in o)
+                    outs = jax.lax.sort(sub, num_keys=1)
+                    if w == rp_w:
+                        return outs
+                    return tuple(jnp.concatenate([s, full[w:]])
+                                 for s, full in zip(outs, o))
+                return f
+
+            if nb > 1 and rp_w == rp:
+                # block-local: lax.sort batches over leading dims for free
+                bops = tuple(o.reshape(nb, rp_w // nb) for o in ops)
+                outs = jax.lax.sort(bops, num_keys=1)
+                outs = tuple(o.reshape(rp_w) for o in outs)
+            elif prev_live is None or rp_w < (1 << wdepth_w) * block:
+                outs = sort_window(rp_w)(tuple(ops))
+            else:
+                # cond cascade from the smallest window (rp_w >> wdepth_w)
+                # up to the full pool; structurally the round-3 fixed
+                # /2 /4 /8 cascade at wdepth=3
+                def cascade(k):
+                    if k == 0:
+                        return sort_window(rp_w)
+                    return lambda o: jax.lax.cond(
+                        prev_live <= float(rp_w >> k),
+                        sort_window(rp_w >> k), cascade(k - 1), o)
+
+                outs = cascade(wdepth_w)(tuple(ops))
+            key_s = outs[0].reshape(rp_w)
+            act = plane_w(
+                (key_s != jnp.int32(2147483647)).astype(jnp.float32))
+            p6 = [plane_w(o.reshape(rp_w)) for o in outs[1:7]]
+            rest = [plane_w(o.reshape(rp_w)) for o in outs[7:13]]
+            rng_p = plane_w(outs[13].reshape(rp_w))
+            return (*p6, rng_p, act, *rest), plane_w(outs[14].reshape(rp_w))
+
+        return reorder_w
+
+    reorder = _reorder_at(rp, wdepth)
 
     def reorder_bperm(state, orig_idx):
         # BLOCK-granular permutation (see BPERM_DEFAULT note): block key =
@@ -1038,77 +1067,163 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
 
     tiles = rows // block_rows
 
-    def seg_window(wt, has_cont):
-        """One bounce segment on the first ``wt`` tiles; identity on the
-        dead tail (the kernel writes every dead lane's state back
-        unchanged, so slicing it off is bit-identical)."""
-        wr = wt * block_rows
+    def _seg_window_at(rows_w: int):
+        tiles_w = rows_w // block_rows
 
-        def f(st):
-            sub = st if wr == rows else tuple(p[:wr] for p in st)
-            order, skip = _chunk_order(sub, chunk_aabbs, block_rows)
-            sb_tab = (_sub_bits(sub, table, sub_aabbs, block_rows, chunk)
-                      if use_sb else None)
-            siv_tab = (_sub_interval(sub, table, sub_aabbs, block_rows,
-                                     chunk) if use_siv else None)
-            out, _, _, miss = _segment_call(
-                table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
-                skip, sub, is_first=False, has_cont=has_cont, rows=wr,
-                interpret=interpret, xla_env=xla_env,
-                block_rows=block_rows, chunk=chunk,
-                group_rows=group_rows, subbits=sb_tab, subiv=siv_tab,
-                subiv_mode=siv_mode)
-            if xla_env:
-                out, _, _ = add_env(out, sub, miss, n=wr * _LANES)
-            if wr == rows:
-                return out
-            return tuple(jnp.concatenate([o, p[wr:]], axis=0)
-                         for o, p in zip(out, st))
-        return f
+        def seg_window(wt, has_cont):
+            """One bounce segment on the first ``wt`` tiles; identity on
+            the dead tail (the kernel writes every dead lane's state back
+            unchanged, so slicing it off is bit-identical)."""
+            wr = wt * block_rows
 
-    def run_bounce(st, extent, has_cont):
-        # window sizes are in whole kernel TILES (ceil(tiles/2^k)) so
-        # the windowed grid stays block-aligned; `extent` is compared in
-        # rays. Cascade mirrors the reorder's sort windows above.
-        if extent is None or not trace_window or tiles < (1 << wdepth):
-            return seg_window(tiles, has_cont)(st)
+            def f(st):
+                sub = st if wr == rows_w else tuple(p[:wr] for p in st)
+                order, skip = _chunk_order(sub, chunk_aabbs, block_rows)
+                sb_tab = (_sub_bits(sub, table, sub_aabbs, block_rows,
+                                    chunk) if use_sb else None)
+                siv_tab = (_sub_interval(sub, table, sub_aabbs, block_rows,
+                                         chunk) if use_siv else None)
+                out, _, _, miss = _segment_call(
+                    table, sub_aabbs, chunk_aabbs, mat_table, env_vec,
+                    order, skip, sub, is_first=False, has_cont=has_cont,
+                    rows=wr, interpret=interpret, xla_env=xla_env,
+                    block_rows=block_rows, chunk=chunk,
+                    group_rows=group_rows, subbits=sb_tab, subiv=siv_tab,
+                    subiv_mode=siv_mode)
+                if xla_env:
+                    out, _, _ = add_env(out, sub, miss, n=wr * _LANES)
+                if wr == rows_w:
+                    return out
+                return tuple(jnp.concatenate([o, p[wr:]], axis=0)
+                             for o, p in zip(out, st))
+            return f
+
+        def run_bounce(st, extent, has_cont, wdepth_w):
+            # window sizes are in whole kernel TILES (ceil(tiles/2^k)) so
+            # the windowed grid stays block-aligned; `extent` is compared
+            # in rays. Cascade mirrors the reorder's sort windows above.
+            if (extent is None or not trace_window
+                    or tiles_w < (1 << wdepth_w)):
+                return seg_window(tiles_w, has_cont)(st)
+            wts = [-(-tiles_w // (1 << k)) for k in range(wdepth_w + 1)]
+            cover = [float(w * block_rows * _LANES) for w in wts]
+
+            def cascade(k):
+                if k == 0:
+                    return seg_window(wts[0], has_cont)
+                return lambda o: jax.lax.cond(
+                    extent <= cover[k], seg_window(wts[k], has_cont),
+                    cascade(k - 1), o)
+
+            return cascade(wdepth_w)(st)
+
+        return run_bounce
+
+    def bounce_loop(state, orig_idx, prefix_live, s_start: int,
+                    s_end: int, skip_first_reorder: bool = False):
+        """Segments ``s_start..s_end`` at the state's CURRENT width (a
+        prefix slice of the pool under the phase split). Returns
+        (state, orig_idx, live-ray total, prefix_live)."""
+        rows_w = state[0].shape[0]
+        rp_w = rows_w * _LANES
+        # inside a split branch the pool is already near the live extent;
+        # cap the inner cascades at /4 windows to bound program size
+        wdepth_w = wdepth if rows_w == rows else min(wdepth, 2)
+        reorder_w = (reorder if rows_w == rows
+                     else _reorder_at(rp_w, wdepth_w))
+        run_bounce = _seg_window_at(rows_w)
+        total = jnp.float32(0.0)
+        for s in range(s_start, s_end + 1):
+            sorted_now = (s - 1) % REORDER_EVERY == 0
+            use_bperm = (bperm_rows > 0 and s >= bperm_from
+                         and rows_w % bperm_rows == 0
+                         and rows_w == rows)
+            if use_bperm and bperm_exact > 0 and (
+                    (s - bperm_from) % bperm_exact == bperm_exact - 1):
+                # periodic exact re-sort inside the bperm region:
+                # re-compacts lanes and resets within-block divergence
+                # (see BPERM_EXACT_DEFAULT). prefix_live after bperm
+                # segments is a block-granular UPPER BOUND on the live
+                # extent, which is all the sort-window cascade needs.
+                use_bperm = False
+            first_here = skip_first_reorder and s == s_start
+            if sorted_now and use_bperm and not first_here:
+                state, orig_idx, extent = reorder_bperm(state, orig_idx)
+            elif sorted_now and not first_here:
+                state, orig_idx = reorder_w(state, orig_idx,
+                                            prev_live=prefix_live)
+            live_s = jnp.sum(state[7])
+            if sorted_now:
+                # after a full sort live rays form an exact lane prefix;
+                # after a block permutation only a BLOCK prefix — the
+                # window cascade compares in rays either way
+                prefix_live = extent if use_bperm else live_s
+            state = run_bounce(state, prefix_live, s < bounces, wdepth_w)
+            total = total + live_s
+        return state, orig_idx, total, prefix_live
+
+    # STATIC PHASE SPLIT (RTF_TPU_SEG_SPLIT = s0): liveness is
+    # monotonically non-increasing, but every windowed sort / trace tail
+    # above still CONCATENATES back to the full pool width — 15 (sort) +
+    # 14 (trace) full-pool plane writes per segment, the measured
+    # ~18-21 ms/segment floor that survives even 1/8 windows (PERF.md
+    # round 4). So: right after the reorder entering segment s0 (which
+    # compacts live rays into an exact prefix), pick the smallest static
+    # tile-aligned width covering the live count via ONE lax.cond
+    # cascade and run ALL remaining segments on genuinely sliced planes;
+    # the frozen dead tail is concatenated back ONCE at the end.
+    # Bit-identical: the kernel is the identity on dead lanes, sliced
+    # sorts of a compacted prefix sort the same live set (lax.sort is
+    # stable and live keys < dead keys), and dead-lane placement never
+    # affects any ray's arithmetic — same invariants as the per-segment
+    # windows, applied to the pool itself.
+    do_split = (0 < split <= bounces and trace_window
+                and REORDER_EVERY == 1 and bperm_rows == 0 and nb == 1
+                and tiles >= (1 << wdepth))
+    if not do_split:
+        state, orig_idx, tl, prefix_live = bounce_loop(
+            state, orig_idx, prefix_live, 1, bounces)
+        total_live = total_live + tl
+    else:
+        if split > 1:
+            state, orig_idx, tl, prefix_live = bounce_loop(
+                state, orig_idx, prefix_live, 1, split - 1)
+            total_live = total_live + tl
+        # the splitting reorder runs at FULL width: it establishes the
+        # exact live prefix the branch widths are chosen against
+        state, orig_idx = reorder(state, orig_idx, prev_live=prefix_live)
+        live_sp = jnp.sum(state[7])
+
+        def split_branch(wt: int):
+            wr = wt * block_rows
+
+            def f(args):
+                st, oi = args
+                stw = (st if wr == rows
+                       else tuple(p[:wr] for p in st))
+                oiw = oi if wr == rows else oi[:wr]
+                out, oio, tl, _ = bounce_loop(
+                    stw, oiw, live_sp, split, bounces,
+                    skip_first_reorder=True)
+                if wr == rows:
+                    return out, oio, tl
+                return (tuple(jnp.concatenate([o, p[wr:]], axis=0)
+                              for o, p in zip(out, st)),
+                        jnp.concatenate([oio, oi[wr:]], axis=0), tl)
+            return f
+
         wts = [-(-tiles // (1 << k)) for k in range(wdepth + 1)]
         cover = [float(w * block_rows * _LANES) for w in wts]
 
         def cascade(k):
             if k == 0:
-                return seg_window(wts[0], has_cont)
-            return lambda o: jax.lax.cond(
-                extent <= cover[k], seg_window(wts[k], has_cont),
-                cascade(k - 1), o)
+                return split_branch(wts[0])
+            return lambda a: jax.lax.cond(
+                live_sp <= cover[k], split_branch(wts[k]),
+                cascade(k - 1), a)
 
-        return cascade(wdepth)(st)
-
-    for s in range(1, bounces + 1):
-        sorted_now = (s - 1) % REORDER_EVERY == 0
-        use_bperm = (bperm_rows > 0 and s >= bperm_from
-                     and rows % bperm_rows == 0)
-        if use_bperm and bperm_exact > 0 and (
-                (s - bperm_from) % bperm_exact == bperm_exact - 1):
-            # periodic exact re-sort inside the bperm region: re-compacts
-            # lanes and resets within-block divergence (see
-            # BPERM_EXACT_DEFAULT). prefix_live after bperm segments is a
-            # block-granular UPPER BOUND on the live extent, which is all
-            # the sort-window cascade needs.
-            use_bperm = False
-        if sorted_now and use_bperm:
-            state, orig_idx, extent = reorder_bperm(state, orig_idx)
-        elif sorted_now:
-            state, orig_idx = reorder(state, orig_idx,
-                                      prev_live=prefix_live)
-        live_s = jnp.sum(state[7])
-        if sorted_now:
-            # after a full sort live rays form an exact lane prefix; after
-            # a block permutation only a BLOCK prefix — the window cascade
-            # compares in rays either way
-            prefix_live = extent if use_bperm else live_s
-        state = run_bounce(state, prefix_live, has_cont=s < bounces)
-        total_live = total_live + live_s
+        state, orig_idx, tl = cascade(wdepth)((state, orig_idx))
+        total_live = total_live + tl
 
     # restore original ray order: sorting (orig_idx, payloads...) by the
     # index IS the inverse permutation, and the multi-operand sort is
@@ -1183,6 +1298,7 @@ def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
         subbits=os.environ.get("RTF_TPU_SEG_SUBBITS",
                                SUBBITS_DEFAULT) == "1",
         subiv=int(os.environ.get("RTF_TPU_SEG_SUBIV", SUBIV_DEFAULT)),
+        split=int(os.environ.get("RTF_TPU_SEG_SPLIT", SPLIT_DEFAULT)),
     )
 
 

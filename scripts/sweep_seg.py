@@ -69,6 +69,15 @@ VARIANTS = [
     ("group8", {"RTF_TPU_SEG_GROUP": "8"}),
     ("group4", {"RTF_TPU_SEG_GROUP": "4"}),
     ("group16", {"RTF_TPU_SEG_GROUP": "16"}),
+    # static phase split (RTF_TPU_SEG_SPLIT = s0): slice the pool to the
+    # live-prefix bucket after the reorder entering segment s0 and run
+    # every remaining segment at that width — removes the full-pool-width
+    # tail concatenates (the ~18-21 ms/segment reorder floor, PERF.md r4)
+    ("split2", {"RTF_TPU_SEG_SPLIT": "2"}),
+    ("split3", {"RTF_TPU_SEG_SPLIT": "3"}),
+    ("split4", {"RTF_TPU_SEG_SPLIT": "4"}),
+    ("split2_wdepth4", {"RTF_TPU_SEG_SPLIT": "2",
+                        "RTF_TPU_SEG_WDEPTH": "4"}),
     # block-permutation reorder (RTF_TPU_SEG_BPERM = rows/block; _FROM =
     # first bounce segment that uses it, earlier ones keep the exact sort)
     ("bperm8", {"RTF_TPU_SEG_BPERM": "8"}),

@@ -217,6 +217,40 @@ def test_window_cascade_depth_bitexact(monkeypatch):
     assert float(np.asarray(frame_n.color).std()) > 0.02
 
 
+@pytest.mark.parametrize("split", ["1", "2", "4"])
+def test_seg_split_bitexact(monkeypatch, split):
+    """RTF_TPU_SEG_SPLIT=s0 slices the ray pool to the smallest static
+    tile-aligned width covering the live prefix right after the reorder
+    entering segment s0, runs every remaining segment at that width, and
+    concatenates the frozen dead tail back once at the end. The reorder
+    compacts live rays into an exact prefix, sliced sorts of that prefix
+    order the same live set (lax.sort is stable, live keys < dead keys),
+    and the kernel is the identity on dead lanes — so any split point is
+    BIT-IDENTICAL to the unsplit engine. 64x64 pool at 2-row kernel
+    tiles -> 16 tiles >= 2^wdepth, so the split cascade engages."""
+    from raytracerfacility_tpu.ops import pallas_seg
+
+    compiled_f, cam, env = _scene("1", monkeypatch)
+    config = RenderConfig(
+        width=64, height=64, bounces=4, samples=1,
+        enable_textures=False, enable_vertex_color=False,
+        samples_in_lanes=True)
+    monkeypatch.setenv("RTF_TPU_SORTED", "1")
+    monkeypatch.setattr(pallas_seg, "BLOCK_ROWS_ENV", "2")
+    monkeypatch.setenv("RTF_TPU_SEG_SPLIT", split)
+    frame_s, rays_s = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(64, 64))
+    monkeypatch.delenv("RTF_TPU_SEG_SPLIT")
+    frame_n, rays_n = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(64, 64))
+    for name in ("color", "normal", "albedo"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(frame_s, name)),
+            np.asarray(getattr(frame_n, name)), err_msg=name)
+    assert float(rays_s) == float(rays_n)
+    assert float(np.asarray(frame_n.color).std()) > 0.02
+
+
 def test_sub_run_bits_bitexact(monkeypatch):
     """RTF_TPU_SEG_SUBBITS=1 precomputes, per (tile, chunk), a bitmask of
     sub-runs the tile's live-ray bundle may hit (XLA-side interval test
