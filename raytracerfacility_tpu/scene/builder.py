@@ -617,6 +617,27 @@ def build_compiled_scene(
               and k not in live]:
         del cache[k]
 
+    # On the TPU path every trace consumer (camera, estimator, LiDAR,
+    # alpha/shadow any-hit) dispatches through the Pallas trace table; the
+    # LBVH walker's only remaining TPU consumer is the BSSRDF disk probe
+    # (models/pathtracer.py). When no material has subsurface enabled,
+    # skip the LBVH build: its jitted program costs several LARGE remote
+    # Mosaic/XLA compiles (~minutes cold through this runtime's compile
+    # service) that would gate first-render latency for nothing. Decided
+    # HERE so the effective value rides the ensemble cache key (the skip
+    # depends on materials, which the key does not otherwise carry).
+    if build_bvh:
+        import os
+
+        import jax as _jax_bvh
+
+        _pbflag = os.environ.get("RTF_TPU_PALLAS_BRUTE")
+        _pallas_on = ((_jax_bvh.default_backend() == "tpu")
+                      if _pbflag is None else _pbflag == "1")
+        if _pallas_on and not any(
+                float(m["subsurface_factor"]) > 0.0 for m in mat_list):
+            build_bvh = False
+
     # ---- geometry-ensemble cache: everything downstream of the triangle
     # soup (buffers, BVH, Pallas tables) is a pure function of the baked
     # parts + their material-slot assignment; a matching key means zero

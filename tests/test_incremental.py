@@ -247,3 +247,41 @@ def test_refit_updates_rows_in_place_o_group():
     if second.fused is not None:
         np.testing.assert_array_equal(np.asarray(second.fused[0]),
                                       np.asarray(fresh.fused[0]))
+
+
+def test_bvh_skipped_when_pallas_serves_all_consumers(monkeypatch):
+    """On the Pallas-table path the LBVH's only consumer is the BSSRDF
+    disk probe (models/pathtracer.py trace dispatch order), so scenes
+    with no subsurface material skip the LBVH build entirely — its
+    jitted build program costs several large remote compiles that would
+    gate first-render latency for nothing. Subsurface materials must
+    still force the build (renderer.py gates enable_subsurface on
+    compiled.bvh)."""
+    monkeypatch.setenv("RTF_TPU_PALLAS_BRUTE", "1")
+    scene = _two_object_scene()
+    compiled = scene.build()
+    assert compiled.pallas_tris is not None
+    assert compiled.bvh is None  # skipped: no subsurface consumer
+
+    # flipping one material to subsurface must rebuild WITH the BVH
+    # (the effective build_bvh rides the ensemble cache key)
+    scene.begin_sync()
+    scene.upsert_geometry(1, version=0, mesh=None)
+    scene.upsert_geometry(2, version=0, mesh=None)
+    scene.upsert_material(10, version=1, properties=MaterialProperties(
+        albedo_color=(0.8, 0.2, 0.2), subsurface_factor=0.5,
+        subsurface_radius=(0.1, 0.1, 0.1)))
+    scene.upsert_material(11, version=0)
+    scene.upsert_instance(20, version=0, geometry=1, material=10)
+    scene.upsert_instance(21, version=0, geometry=2, material=11)
+    scene.end_sync()
+    compiled2 = scene.build()
+    assert compiled2.bvh is not None
+
+    # with the Pallas table disabled the walker is a live consumer:
+    # never skip
+    monkeypatch.setenv("RTF_TPU_PALLAS_BRUTE", "0")
+    scene2 = _two_object_scene()
+    compiled3 = scene2.build()
+    assert compiled3.pallas_tris is None
+    assert compiled3.bvh is not None
