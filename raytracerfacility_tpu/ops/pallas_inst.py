@@ -45,6 +45,16 @@ O(instances x chunks-per-geometry) per tile; provably-missed steps cost
 a ~2.1 us grid step each, so very large instance counts want few, large
 object chunks. The MEMORY ceiling — the reference-parity gap this
 module closes — is gone: HBM holds unique geometry only.
+
+SMEM discipline (the v5e has ~1 MB of SMEM and scalar-prefetch operands
+live there whole): the per-tile visit order is dispatched in fixed
+(TILE_BATCH x W_STEPS) windows — two i32 order tables per call, 256 KB
+at the defaults — and every O(scene) lookup is windowed per STEP by the
+order tables' index maps (one (1, 16) instance record, one (1, 8)
+object-chunk AABB row), so SMEM cost is independent of instance count,
+chunk count, and total step count. Tiles whose visit count exceeds one
+window CONTINUE across passes: the best-hit planes chain through carry
+inputs, bit-identically (tests/test_instanced.py multipass test).
 """
 
 from __future__ import annotations
@@ -93,7 +103,8 @@ def pack_instanced_tables(geoms, instance_geom, instance_matrices,
                             windows; col 9 = geometry-base + original
                             pre-Morton prim index, exact as f32)
       sub_aabbs    (N/sub, 8)   object-space sub-run AABBs
-      obj_chunks   (C8, 8)      object-space chunk AABBs (SMEM, whole)
+      obj_chunks   (C8, 8)      object-space chunk AABBs (per-step
+                                (1, 8) SMEM window)
       inst         (I, 16)      per-instance world->object 3x4 (rows
                                 0..8 = A, 9..11 = c), rest zero
       step_chunk   (S,) i32     object chunk row of each visit step
@@ -223,32 +234,36 @@ def pack_instanced_tables(geoms, instance_geom, instance_matrices,
 
 
 def _make_inst_kernel(unroll: int, chunk: int, sub: int):
-    def _kernel(order_ref, skip_ref, sc_ref, si_ref,
+    def _kernel(oc_ref, oi_ref, cnt_ref,
                 tris_ref, sub_ref, ochunk_ref, inst_ref,
                 ox, oy, oz, dx, dy, dz, tmn, tmx,
+                t_in, p_in, i_in, u_in, v_in,
                 t_ref, prim_ref, iid_ref, u_ref, v_ref):
+        i = pl.program_id(0)
         step = pl.program_id(1)
-        sv = order_ref[pl.program_id(0), step]
-        do_step = skip_ref[pl.program_id(0), step] == 0
-        cc = sc_ref[sv]
-        iid = si_ref[sv]
+        do_step = step < cnt_ref[i]
         tmin_v = tmn[...]
 
+        # pass-carry init: the first step copies the incoming best-hit
+        # planes (tmax / -1 on the first pass; the previous pass's
+        # outputs on continuation passes — see the multi-pass dispatch)
         @pl.when(step == 0)
         def _init():
-            t_ref[...] = tmx[...]
-            prim_ref[...] = jnp.full_like(tmx[...], -1.0)
-            iid_ref[...] = jnp.full_like(tmx[...], 3.4e38)
-            u_ref[...] = jnp.zeros_like(tmx[...])
-            v_ref[...] = jnp.zeros_like(tmx[...])
+            t_ref[...] = t_in[...]
+            prim_ref[...] = p_in[...]
+            iid_ref[...] = i_in[...]
+            u_ref[...] = u_in[...]
+            v_ref[...] = v_in[...]
 
-        # world->object: o' = A.o + c, d' = A.d (A row-major in SMEM).
-        # Scalar broadcasts; evaluation order matches the XLA oracle in
-        # tests/test_instanced.py term for term.
-        a00, a01, a02 = inst_ref[iid, 0], inst_ref[iid, 1], inst_ref[iid, 2]
-        a10, a11, a12 = inst_ref[iid, 3], inst_ref[iid, 4], inst_ref[iid, 5]
-        a20, a21, a22 = inst_ref[iid, 6], inst_ref[iid, 7], inst_ref[iid, 8]
-        c0, c1, c2 = inst_ref[iid, 9], inst_ref[iid, 10], inst_ref[iid, 11]
+        # world->object: o' = A.o + c, d' = A.d. The instance record and
+        # the object-chunk AABB arrive as (1, 16)/(1, 8) SMEM windows
+        # picked by the order tables' index maps — SMEM cost is O(1) in
+        # instance and chunk count. Scalar broadcasts; evaluation order
+        # matches the XLA oracle in tests/test_instanced.py term for term.
+        a00, a01, a02 = inst_ref[0, 0], inst_ref[0, 1], inst_ref[0, 2]
+        a10, a11, a12 = inst_ref[0, 3], inst_ref[0, 4], inst_ref[0, 5]
+        a20, a21, a22 = inst_ref[0, 6], inst_ref[0, 7], inst_ref[0, 8]
+        c0, c1, c2 = inst_ref[0, 9], inst_ref[0, 10], inst_ref[0, 11]
         wox, woy, woz = ox[...], oy[...], oz[...]
         wdx, wdy, wdz = dx[...], dy[...], dz[...]
         o_x = a00 * wox + a01 * woy + a02 * woz + c0
@@ -257,7 +272,7 @@ def _make_inst_kernel(unroll: int, chunk: int, sub: int):
         d_x = a00 * wdx + a01 * wdy + a02 * wdz
         d_y = a10 * wdx + a11 * wdy + a12 * wdz
         d_z = a20 * wdx + a21 * wdy + a22 * wdz
-        iid_f = si_ref[sv].astype(jnp.float32)
+        iid_f = oi_ref[i, step].astype(jnp.float32)
 
         eps = 1e-20
         ivx = 1.0 / jnp.where(jnp.abs(d_x) < eps,
@@ -341,8 +356,8 @@ def _make_inst_kernel(unroll: int, chunk: int, sub: int):
         carry = (t_ref[...], prim_ref[...], iid_ref[...],
                  u_ref[...], v_ref[...])
         entered = slab(
-            ochunk_ref[cc, 0], ochunk_ref[cc, 1], ochunk_ref[cc, 2],
-            ochunk_ref[cc, 3], ochunk_ref[cc, 4], ochunk_ref[cc, 5],
+            ochunk_ref[0, 0], ochunk_ref[0, 1], ochunk_ref[0, 2],
+            ochunk_ref[0, 3], ochunk_ref[0, 4], ochunk_ref[0, 5],
             carry[0])
 
         def run_chunk(c):
@@ -385,46 +400,61 @@ def _pad_rays(origin, direction, tmin, tmax):
 
 
 @jax.jit
-def _step_order(ray_ins, step_aabbs):
+def _step_order(ray_ins, step_aabbs, step_chunk, step_inst):
     """Per-tile front-to-back culled STEP order over the world step
     AABBs — culling and near-to-far ordering across instances and
     chunks at once (a provably-missed step repeats the previous step's
     object window, and same-chunk steps of different instances share
-    windows: both elide the HBM->SMEM DMA). Returns (order, skip,
-    max_visits): accepted steps are compacted to the order's FRONT
-    (chunk_order), so the kernel grid only needs max_visits columns —
-    the step axis is DATA-ADAPTIVE, the TPU-native answer to the
-    O(instances x chunks) step count of heavy instancing."""
+    windows: both elide the HBM->SMEM DMA). Accepted steps are compacted
+    to the order's FRONT (chunk_order), so the kernel only needs each
+    tile's ``counts`` leading columns — the step axis is DATA-ADAPTIVE.
+    The step id itself never reaches the kernel: the order is folded
+    through the step->(chunk, instance) tables HERE, so SMEM holds two
+    (tile-batch, window) i32 tables instead of O(steps) lookup tables."""
     order, skip = chunk_order(
         ray_ins[0], ray_ins[1], ray_ins[2], ray_ins[3], ray_ins[4],
         ray_ins[5], ray_ins[7] > ray_ins[6], step_aabbs,
         BLOCK_ROWS)
-    visits = jnp.sum(1 - skip, axis=1)
-    return order, skip, jnp.max(visits)
+    counts = jnp.sum(1 - skip, axis=1).astype(jnp.int32)
+    return (jnp.take(step_chunk, order, axis=0),
+            jnp.take(step_inst, order, axis=0), counts)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "chunk", "sub"))
-def _trace_instanced(table, sub_aabbs, obj_chunks, inst, step_chunk,
-                     step_inst, order, skip, ray_ins,
+def _trace_instanced(table, sub_aabbs, obj_chunks, inst,
+                     order_chunk, order_inst, counts, ray_ins, carry_ins,
                      interpret=False, chunk=TRI_CHUNK, sub=SUB):
+    """One (tile-batch, step-window) pass. ``order_chunk``/``order_inst``
+    are (tiles_b, W) i32, ``counts`` the batch's per-tile remaining visit
+    counts clipped to [0, W]; ``carry_ins`` the 5 best-hit planes from
+    the previous pass (or the tmax/-1 init). SMEM footprint is bounded
+    by the batch shape alone: the triangle/sub-AABB windows plus ONE
+    instance record and ONE object-chunk row per step (both picked by
+    the order tables' index maps), independent of instance count, chunk
+    count, and total step count."""
     rows = ray_ins[0].shape[0]
-    grid = (rows // BLOCK_ROWS, order.shape[1])
+    grid = (rows // BLOCK_ROWS, order_chunk.shape[1])
     ray_spec = pl.BlockSpec((BLOCK_ROWS, _LANES),
-                            lambda i, c, o, s, sc, si: (i, 0))
+                            lambda i, c, oc, oi, cnt: (i, 0))
     tri_spec = pl.BlockSpec((chunk, _COLS),
-                            lambda i, c, o, s, sc, si: (sc[o[i, c]], 0),
+                            lambda i, c, oc, oi, cnt: (oc[i, c], 0),
                             memory_space=pltpu.SMEM)
     sub_spec = pl.BlockSpec((chunk // sub, 8),
-                            lambda i, c, o, s, sc, si: (sc[o[i, c]], 0),
+                            lambda i, c, oc, oi, cnt: (oc[i, c], 0),
                             memory_space=pltpu.SMEM)
-    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    chunk_spec = pl.BlockSpec((1, 8),
+                              lambda i, c, oc, oi, cnt: (oc[i, c], 0),
+                              memory_space=pltpu.SMEM)
+    inst_spec = pl.BlockSpec((1, 16),
+                             lambda i, c, oc, oi, cnt: (oi[i, c], 0),
+                             memory_space=pltpu.SMEM)
     out_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=grid,
-        in_specs=[tri_spec, sub_spec, smem_spec, smem_spec]
-        + [ray_spec] * 8,
+        in_specs=[tri_spec, sub_spec, chunk_spec, inst_spec]
+        + [ray_spec] * 13,
         out_specs=[ray_spec] * 5,
     )
     unroll = 1 if interpret else sub
@@ -433,15 +463,27 @@ def _trace_instanced(table, sub_aabbs, obj_chunks, inst, step_chunk,
         grid_spec=grid_spec,
         out_shape=(out_shape,) * 5,
         interpret=interpret,
-    )(order, skip, step_chunk, step_inst, table, sub_aabbs, obj_chunks,
-      inst, *ray_ins)
+    )(order_chunk, order_inst, counts, table, sub_aabbs, obj_chunks,
+      inst, *ray_ins, *carry_ins)
 
 
-# visit-step window buckets: the grid's step axis is sized to the
-# smallest bucket covering the max per-tile accepted-step count (one
-# device->host scalar read per trace call). Also caps the SMEM
-# footprint of the prefetched (tiles, L) order table.
-_STEP_BUCKETS = (64, 256, 1024, 4096, 16384)
+# Step-window width per pass and tiles per pallas_call: together they
+# bound the order tables' SMEM cost at 2 * TILE_BATCH * W_STEPS * 4 B
+# (256 KB at the defaults) regardless of scene scale. Tiles whose visit
+# count exceeds W_STEPS CONTINUE across passes (the best-hit planes
+# chain through carry inputs), so no count is too large — the grid work
+# stays proportional to the per-batch max count, rounded up to a pass.
+# RTF_TPU_INST_W / RTF_TPU_INST_TB override (sweeps + the multi-pass
+# bit-exactness test).
+W_STEPS = 4096
+TILE_BATCH = 8
+
+
+def _window_params():
+    import os
+
+    return (int(os.environ.get("RTF_TPU_INST_W", W_STEPS)),
+            int(os.environ.get("RTF_TPU_INST_TB", TILE_BATCH)))
 
 
 def trace_closest_instanced(tables, origin, direction, tmin, tmax,
@@ -453,6 +495,13 @@ def trace_closest_instanced(tables, origin, direction, tmin, tmax,
     (geometry base + pre-Morton index — identifies the unique triangle,
     shared across instances) plus an ``inst`` array of hit instance ids
     (-1 on miss) as a second return value.
+
+    Dispatch: one ``chunk_order`` pass over the world step AABBs, one
+    (tiles,) count readback, then tile batches of TILE_BATCH x W_STEPS
+    passes. Each pass is a fixed-shape program (the compile cache sees
+    at most two shapes per scene), and a batch stops after the pass
+    covering its own max count — camera-coherent neighbors have similar
+    counts, so the rounding waste is one part-pass per batch.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -463,20 +512,59 @@ def trace_closest_instanced(tables, origin, direction, tmin, tmax,
     ray_ins = _pad_rays(origin, direction, tmin_f, tmax_f)
     r = origin.shape[0]
     rp = ray_ins[0].size
+    rows = ray_ins[0].shape[0]
+    tiles = rows // BLOCK_ROWS
 
     nsteps = int(tables["step_chunk"].shape[0])
-    order, skip, max_visits = _step_order(
-        ray_ins, tables["step_aabbs"][:nsteps])
-    mv = max(int(max_visits), 1)  # one device scalar read per trace
-    wsteps = next((b for b in _STEP_BUCKETS if b >= mv), None)
-    if wsteps is None or wsteps > nsteps:
-        wsteps = nsteps
-    t, prim, iid, u, v = _trace_instanced(
-        tables["table"], tables["sub_aabbs"], tables["obj_chunks"],
-        tables["inst"], tables["step_chunk"], tables["step_inst"],
-        order[:, :wsteps], skip[:, :wsteps], ray_ins,
-        interpret=bool(interpret), chunk=tables["chunk"],
-        sub=tables["sub"])
+    order_chunk, order_inst, counts = _step_order(
+        ray_ins, tables["step_aabbs"][:nsteps],
+        tables["step_chunk"], tables["step_inst"])
+    counts_np = np.asarray(counts)  # one small (tiles,) readback
+
+    w_steps, tile_batch = _window_params()
+    w = min(w_steps, nsteps)
+    # pad the order columns to a pass multiple with edge repeats: the
+    # repeated index elides the window DMA and count-gating skips the
+    # step, so pad columns cost (almost) nothing
+    padw = (-nsteps) % w
+    if padw:
+        order_chunk = jnp.concatenate(
+            [order_chunk, jnp.repeat(order_chunk[:, -1:], padw, axis=1)],
+            axis=1)
+        order_inst = jnp.concatenate(
+            [order_inst, jnp.repeat(order_inst[:, -1:], padw, axis=1)],
+            axis=1)
+
+    init_t = ray_ins[7]
+    init_p = jnp.full((rows, _LANES), -1.0, jnp.float32)
+    init_i = jnp.full((rows, _LANES), 3.4e38, jnp.float32)
+    init_u = jnp.zeros((rows, _LANES), jnp.float32)
+    init_v = jnp.zeros((rows, _LANES), jnp.float32)
+
+    outs = [[] for _ in range(5)]
+    static_args = dict(interpret=bool(interpret), chunk=tables["chunk"],
+                       sub=tables["sub"])
+    for t0 in range(0, tiles, tile_batch):
+        t1 = min(t0 + tile_batch, tiles)
+        r0, r1 = t0 * BLOCK_ROWS, t1 * BLOCK_ROWS
+        rays_b = tuple(p[r0:r1] for p in ray_ins)
+        carry = (init_t[r0:r1], init_p[r0:r1], init_i[r0:r1],
+                 init_u[r0:r1], init_v[r0:r1])
+        bmax = int(counts_np[t0:t1].max(initial=0))
+        passes = max(1, -(-bmax // w))
+        for p in range(passes):
+            c0 = p * w
+            oc = order_chunk[t0:t1, c0:c0 + w]
+            oi = order_inst[t0:t1, c0:c0 + w]
+            cnt = jnp.clip(counts[t0:t1] - c0, 0, w).astype(jnp.int32)
+            carry = _trace_instanced(
+                tables["table"], tables["sub_aabbs"],
+                tables["obj_chunks"], tables["inst"],
+                oc, oi, cnt, rays_b, carry, **static_args)
+        for k in range(5):
+            outs[k].append(carry[k])
+    t, prim, iid, u, v = (x[0] if len(x) == 1 else
+                          jnp.concatenate(x, axis=0) for x in outs)
 
     def unplane(x):
         return x.reshape(rp)[:r]

@@ -214,3 +214,32 @@ def test_compile_shared_instanced_from_scene():
     np.testing.assert_allclose(np.asarray(res.t)[both],
                                np.asarray(ref.t)[both],
                                rtol=2e-3, atol=2e-3)
+
+
+def test_instanced_multipass_bitexact(monkeypatch):
+    """Forced tiny step windows + tile batches (the SMEM-bounded
+    dispatch: best-hit planes chain across passes) must be bit-identical
+    to the one-shot trace — the pass boundary is just a resumption point
+    of the same visit order."""
+    geoms, inst_geom, mats = _scene()
+    tables = pack_instanced_tables(geoms, inst_geom, mats,
+                                   chunk=128, sub=16)
+    r = 900
+    o, d = _rays(r, seed=11)
+    tmin = jnp.full(r, 1e-3, jnp.float32)
+    tmax = jnp.full(r, 100.0, jnp.float32)
+
+    res1, iid1 = trace_closest_instanced(tables, o, d, tmin, tmax)
+
+    # windows far below the step count force multi-pass continuation;
+    # TB=1 forces one call per tile
+    monkeypatch.setenv("RTF_TPU_INST_W", "8")
+    monkeypatch.setenv("RTF_TPU_INST_TB", "1")
+    res2, iid2 = trace_closest_instanced(tables, o, d, tmin, tmax)
+
+    np.testing.assert_array_equal(np.asarray(res1.hit), np.asarray(res2.hit))
+    np.testing.assert_array_equal(np.asarray(res1.prim), np.asarray(res2.prim))
+    np.testing.assert_array_equal(np.asarray(iid1), np.asarray(iid2))
+    np.testing.assert_array_equal(np.asarray(res1.t), np.asarray(res2.t))
+    np.testing.assert_array_equal(np.asarray(res1.u), np.asarray(res2.u))
+    np.testing.assert_array_equal(np.asarray(res1.v), np.asarray(res2.v))
