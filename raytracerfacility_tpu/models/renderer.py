@@ -148,6 +148,38 @@ class RayTracerCamera:
         ref RayTracer.cu:2232-2256); only the host round-trip count
         differs, and on the benchmark runtime that round-trip is ~28 ms
         per call."""
+        return np.asarray(self._render_device(env, ray, build_bvh, frames))
+
+    def render_u8(
+        self,
+        env: EnvironmentProperties,
+        ray: RayProperties | None = None,
+        build_bvh: bool | None = None,
+        frames: int = 1,
+    ) -> np.ndarray:
+        """Like :meth:`render`, but quantizes to (H, W, 3) uint8 ON
+        DEVICE before the host transfer — the display path. The
+        reference blits its f32 frame buffer to a GL texture without
+        touching the host (CUDA-GL interop, ref RayTracer.cu:2232-2256,
+        400-420); the TPU-native analog is shrinking the host transfer
+        itself: 4x fewer bytes through the device link, with the exact
+        same pixel values :func:`utils.image.write_png` would produce
+        from the f32 image."""
+        from raytracerfacility_tpu.utils.display import encode_u8
+
+        return np.asarray(
+            encode_u8(self._render_device(env, ray, build_bvh, frames)))
+
+    def _render_device(
+        self,
+        env: EnvironmentProperties,
+        ray: RayProperties | None = None,
+        build_bvh: bool | None = None,
+        frames: int = 1,
+    ):
+        """Render and return the (H, W, 4) f32 image as a DEVICE array
+        (no host transfer) — the composition point for device-side
+        display encodes and downstream on-device consumers."""
         ray = ray or RayProperties()
         scene_dirty = self.scene.dirty
         kwargs = {} if build_bvh is None else {"build_bvh": build_bvh}
@@ -210,9 +242,9 @@ class RayTracerCamera:
         # ref CameraRendering.cu:135-140 / finalize_frame); COLOR falls
         # through to the denoiser blend below
         if self.output_type == OutputType.NORMAL:
-            return np.asarray(self._frame.normal)
+            return self._frame.normal
         if self.output_type in (OutputType.ALBEDO, OutputType.DEPTH):
-            return np.asarray(self._frame.albedo)
+            return self._frame.albedo
         # CNN denoise of the COLOR output (the accumulation buffer stays
         # raw, like the reference's separate denoised blit buffer,
         # ref RayTracer.cu:477-556)
@@ -235,12 +267,13 @@ class RayTracerCamera:
                 self._frame.normal,
                 blend_factor=blend,
             )
-            out = np.ones(
-                (denoised.shape[0], denoised.shape[1], 4), np.float32
-            )
-            out[..., :3] = np.asarray(denoised)
-            return out
-        return np.asarray(self._frame.color)
+            import jax.numpy as jnp
+
+            return jnp.concatenate(
+                [denoised,
+                 jnp.ones(denoised.shape[:2] + (1,), jnp.float32)],
+                axis=-1)
+        return self._frame.color
 
     def _has_subsurface(self) -> bool:
         for mat in self.scene.materials.values():
