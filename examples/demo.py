@@ -138,6 +138,10 @@ def main() -> None:
         os.path.dirname(__file__), "out"))
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
+    parser.add_argument("--viewer", type=int, default=0, metavar="PORT",
+                        help="after the headless passes, serve the scene "
+                        "as an interactive progressive preview on PORT "
+                        "(drag orbits, wheel dollies; Ctrl-C stops)")
     args = parser.parse_args()
     if args.cpu:
         import jax
@@ -241,6 +245,26 @@ def main() -> None:
     serialization.save_camera(
         layer.scene_camera.camera, os.path.join(args.out, "camera.yml"))
     print(f"outputs in {args.out}")
+
+    # 6) optional interactive preview (the live-editor-viewport analog,
+    # ref RayTracerLayer.cpp:454-712) -----------------------------------
+    if args.viewer:
+        from raytracerfacility_tpu.viewer import ProgressiveViewer
+
+        viewer = ProgressiveViewer(
+            layer.scene, env=layer.environment,
+            ray=layer.ray_properties, camera=layer.scene_camera,
+            eye=(0.0, 1.0, 2.6), target=(0.0, 0.8, 0.0))
+        port = viewer.start(port=args.viewer)
+        print(f"interactive preview at http://localhost:{port} "
+              "(Ctrl-C stops)")
+        try:
+            import time
+
+            while True:
+                time.sleep(1.0)
+        except KeyboardInterrupt:
+            viewer.stop()
 
 
 if __name__ == "__main__":
