@@ -202,7 +202,7 @@ def test_removal_prunes_cache(bake_counter):
     assert compiled.num_instances == 1
 
 
-def test_refit_updates_rows_in_place_o_group():
+def test_refit_updates_rows_in_place_o_group(monkeypatch):
     """IAS-refit analog (ref RayTracer.cu:1618-1715): when ONLY shared-
     group transforms change, the ensemble updates IN PLACE — O(changed
     group) host bake + device row update, no host re-concat and no
@@ -210,9 +210,9 @@ def test_refit_updates_rows_in_place_o_group():
     from the updated buffers, so the compiled scene is value-identical
     to a from-scratch build. Exercised at canopy scale (>=1M triangles,
     the streaming-design claim) with a 4-plant group move."""
-    import os
-
-    os.environ["RTF_TPU_PALLAS_BRUTE"] = "1"
+    # monkeypatch, NOT os.environ: a leaked knob here once flipped the
+    # LBVH-skip decision inside a LATER test's scene build
+    monkeypatch.setenv("RTF_TPU_PALLAS_BRUTE", "1")
     from raytracerfacility_tpu.scene.procedural import build_canopy_scene
 
     rows = cols = 52  # ~1.04M triangles
