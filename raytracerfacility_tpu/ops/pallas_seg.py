@@ -211,8 +211,12 @@ BPERM_EXACT_DEFAULT = "0"
 # per-segment windows cannot remove but a real pool slice does.
 # Bit-identical (same dead-lane invariants as the windows; test
 # tests/test_fused.py::test_seg_split_bitexact). Ignored when
-# REORDER_EVERY > 1, bperm, or block-local sorts are active.
-SPLIT_DEFAULT = "0"
+# REORDER_EVERY > 1, bperm, or block-local sorts are active, and when
+# s0 > bounces (short-segment workloads such as the estimator pools).
+# Default 3 after the round-5 headline sweep: 32.09 vs 30.97 Mrays/s at
+# 1080p/8 bounces for s0 = 3 (s0 = 2 gives 31.54; s0 = 4 exceeded the
+# sweep's compile budget — PERF.md round 5).
+SPLIT_DEFAULT = "3"
 
 
 def _kernel(

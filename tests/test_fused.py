@@ -217,7 +217,7 @@ def test_window_cascade_depth_bitexact(monkeypatch):
     assert float(np.asarray(frame_n.color).std()) > 0.02
 
 
-@pytest.mark.parametrize("split", ["1", "2", "4"])
+@pytest.mark.parametrize("split", ["1", "2", "3", "4"])
 def test_seg_split_bitexact(monkeypatch, split):
     """RTF_TPU_SEG_SPLIT=s0 slices the ray pool to the smallest static
     tile-aligned width covering the live prefix right after the reorder
@@ -240,7 +240,9 @@ def test_seg_split_bitexact(monkeypatch, split):
     monkeypatch.setenv("RTF_TPU_SEG_SPLIT", split)
     frame_s, rays_s = render_frame_counted_jit(
         compiled_f, cam, env, config, init_frame(64, 64))
-    monkeypatch.delenv("RTF_TPU_SEG_SPLIT")
+    # compare against the genuinely UNSPLIT engine — "0" explicitly,
+    # since the packaged default is now a split point
+    monkeypatch.setenv("RTF_TPU_SEG_SPLIT", "0")
     frame_n, rays_n = render_frame_counted_jit(
         compiled_f, cam, env, config, init_frame(64, 64))
     for name in ("color", "normal", "albedo"):
