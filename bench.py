@@ -531,6 +531,10 @@ def main() -> None:
                 # roofline proxies (see OPS_PER_PAIR/VPU_PEAK_OPS notes):
                 # live-ray x table-row pairs per second, and the VPU-peak
                 # fraction a full brute sweep at this rate would represent
+                # pairs metric v2 (round 4+): numerator uses the UNPADDED
+                # primitive count — ~9% lower than v1 (BENCH_r01..r03) on
+                # small scenes purely from the metric change (ADVICE r4)
+                "pairs_metric_version": 2,
                 "gpairs_per_sec": round(pairs / 1e9, 3),
                 "vpu_peak_pct_proxy": round(
                     100.0 * pairs * OPS_PER_PAIR / VPU_PEAK_OPS, 2),

@@ -1479,7 +1479,7 @@ _KNOB_NAMES = (
     "RTF_TPU_SEG_GROUP", "RTF_TPU_SEG_BPERM", "RTF_TPU_SEG_BPERM_FROM",
     "RTF_TPU_SEG_BPERM_EXACT", "RTF_TPU_TILED_RAYGEN",
     "RTF_TPU_SEG_WDEPTH", "RTF_TPU_SEG_SUBBITS", "RTF_TPU_SEG_SUBIV",
-    "RTF_TPU_SEG_SPLIT",
+    "RTF_TPU_SEG_SPLIT", "RTF_TPU_SEG_VDEPTH",
     "RTF_TPU_SEG_ROWS", "RTF_TPU_FUSED_ROWS", "RTF_TPU_FUSED_CHUNK",
     "RTF_TPU_FUSED_SUB", "RTF_TPU_UNROLL", "RTF_TPU_FRAME_POOL_RAYS",
     "RTF_BTF_BUCKET",

@@ -217,6 +217,21 @@ BPERM_EXACT_DEFAULT = "0"
 # 1080p/8 bounces for s0 = 3 (s0 = 2 gives 31.54; s0 = 4 exceeded the
 # sweep's compile budget — PERF.md round 5).
 SPLIT_DEFAULT = "3"
+# CHUNK-VISIT-AXIS liveness window (RTF_TPU_SEG_VDEPTH = k; 0 = off):
+# the trace grid's second dimension is always the static worst case
+# (nchunks visit steps per tile), but the per-tile order/skip tables
+# front-load the ACCEPTED chunks — every step past a tile's accepted
+# count is a provable no-op that still costs a grid step (~2.1 us
+# skipped vs ~180 us live, PERF.md round 3). This is the same liveness
+# window the tile axis already has, applied to the VISIT axis: each
+# segment runs on the smallest static visit width (nchunks, /2, ...,
+# /2^k) covering the MAX accepted-chunk count over the window's tiles,
+# picked by a lax.cond cascade. Bit-identical (the skipped steps are
+# no-ops by construction; the shade phase fires at the last visit step
+# either way). Pays most on many-chunk scenes with strong culling — the
+# 111k-tri canopy pool steps 434 chunk columns per tile while accepting
+# a few dozen. Costs one extra kernel-shape compile per cascade level.
+VDEPTH_DEFAULT = "0"
 
 
 def _kernel(
@@ -610,14 +625,14 @@ def _kernel(
     jax.jit,
     static_argnames=("is_first", "has_cont", "xla_env", "rows",
                      "block_rows", "interpret", "chunk", "group_rows",
-                     "subiv_mode"),
+                     "subiv_mode", "nvisit"),
 )
 def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
                   skip, state, is_first: bool, has_cont: bool, rows: int,
                   interpret: bool, xla_env: bool = False,
                   block_rows: int = 64, chunk: int = TRI_CHUNK,
                   group_rows: int = 0, subbits=None, subiv=None,
-                  subiv_mode: int = 1):
+                  subiv_mode: int = 1, nvisit: int = 0):
     """One trace+shade segment over planar state ((rows, 128) planes).
 
     ``state`` = (ox, oy, oz, dx, dy, dz, rng(i32), act, tr, tg, tb,
@@ -633,6 +648,13 @@ def _segment_call(table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order,
     per-segment-index specialization would pay that 9x per config)."""
     tiles = rows // block_rows
     nchunks = table.shape[0] // chunk
+    # visit-axis window (VDEPTH_DEFAULT): run only the first ``nvisit``
+    # visit steps of every tile's order/skip row. The caller guarantees
+    # nvisit covers the max accepted-chunk count over these tiles, so
+    # the dropped steps are exactly the provable no-op (skip == 1)
+    # tail; order/skip stay full-width (only columns < nvisit are read)
+    if nvisit:
+        nchunks = nvisit
     sub = table.shape[0] // sub_aabbs.shape[0]
     grid = (tiles, nchunks)
     use_subbits = subbits is not None
@@ -823,7 +845,7 @@ def _apply_block_perm(perm, planes, brows: int, interpret: bool):
                      "atmos_samples", "atmos_samples_light", "sort_block",
                      "chunk", "trace_window", "group_rows", "bperm_rows",
                      "bperm_from", "bperm_exact", "wdepth", "subbits",
-                     "subiv", "split"))
+                     "subiv", "split", "vdepth"))
 def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         direction, rng, valid, env_vec, bounces: int,
                         presort: bool = False, interpret: bool = False,
@@ -835,7 +857,7 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         bperm_rows: int = 0, bperm_from: int = 1,
                         bperm_exact: int = 0, wdepth: int = 3,
                         subbits: bool = False, subiv: int = 0,
-                        split: int = 0):
+                        split: int = 0, vdepth: int = 0):
     r = origin.shape[0]
     block_rows = _pick_block_rows((r + _LANES - 1) // _LANES)
     block = block_rows * _LANES
@@ -1037,18 +1059,59 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
     siv_mode = subiv if use_siv else 1
     use_sb = subbits and not use_siv and chunk // sub_rows <= 32
 
+    # visit-axis window cascade (VDEPTH_DEFAULT): static visit widths
+    # nch_k, /2, ..., /2^vdepth; a segment runs on the smallest width
+    # covering the max accepted-chunk count over its tiles' order rows
+    nch_k = table.shape[0] // chunk
+    _vws = []
+    for _k in range(max(vdepth, 0) + 1):
+        _w = -(-nch_k // (1 << _k))
+        if _w not in _vws:
+            _vws.append(_w)
+
+    def _with_visit_window(skip_tab, call):
+        """``call(nv)`` runs one segment at static visit width ``nv``
+        (0 = full) and returns a FLAT tuple; all branches of the cond
+        cascade return identical shapes. Bit-identical: every visit
+        step >= a tile's accepted count carries skip == 1 (a no-op that
+        repeats the previous window), and nv always covers the max
+        accepted count, so only no-op steps are dropped."""
+        if vdepth <= 0 or len(_vws) < 2 or nch_k < 4:
+            return call(0)
+        nacc = jnp.max(jnp.sum(
+            jnp.int32(1) - skip_tab[:, :nch_k], axis=1)).astype(jnp.float32)
+
+        def cascade(k):
+            if k == 0:
+                return lambda _: call(_vws[0])
+            return lambda _: jax.lax.cond(
+                nacc <= float(_vws[k]), lambda __: call(_vws[k]),
+                cascade(k - 1), None)
+
+        return cascade(len(_vws) - 1)(None)
+
     prev = state
     order, skip = _chunk_order(state, chunk_aabbs, block_rows)
     sb_tab = (_sub_bits(state, table, sub_aabbs, block_rows, chunk)
               if use_sb else None)
     siv_tab = (_sub_interval(state, table, sub_aabbs, block_rows, chunk)
                if use_siv else None)
-    state, aovs, live0, miss = _segment_call(
-        table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order, skip,
-        state, is_first=True, has_cont=bounces >= 1, rows=rows,
-        interpret=interpret, xla_env=xla_env, block_rows=block_rows,
-        chunk=chunk, group_rows=group_rows, subbits=sb_tab, subiv=siv_tab,
-        subiv_mode=siv_mode)
+    state0 = state
+
+    def _first_flat(nv):
+        st, av, _, ms = _segment_call(
+            table, sub_aabbs, chunk_aabbs, mat_table, env_vec, order, skip,
+            state0, is_first=True, has_cont=bounces >= 1, rows=rows,
+            interpret=interpret, xla_env=xla_env, block_rows=block_rows,
+            chunk=chunk, group_rows=group_rows, subbits=sb_tab,
+            subiv=siv_tab, subiv_mode=siv_mode, nvisit=nv)
+        return tuple(st) + tuple(av) + ((ms,) if xla_env else ())
+
+    flat = _with_visit_window(skip, _first_flat)
+    state = flat[:14]
+    aovs = flat[14:23]
+    miss = flat[23] if xla_env else None
+    live0 = jnp.sum(state0[7])
     total_live = live0
     if xla_env:
         state, light, m = add_env(state, prev, miss)
@@ -1087,13 +1150,21 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                                     chunk) if use_sb else None)
                 siv_tab = (_sub_interval(sub, table, sub_aabbs, block_rows,
                                          chunk) if use_siv else None)
-                out, _, _, miss = _segment_call(
-                    table, sub_aabbs, chunk_aabbs, mat_table, env_vec,
-                    order, skip, sub, is_first=False, has_cont=has_cont,
-                    rows=wr, interpret=interpret, xla_env=xla_env,
-                    block_rows=block_rows, chunk=chunk,
-                    group_rows=group_rows, subbits=sb_tab, subiv=siv_tab,
-                    subiv_mode=siv_mode)
+
+                def _mid_flat(nv):
+                    o, _, _, ms = _segment_call(
+                        table, sub_aabbs, chunk_aabbs, mat_table, env_vec,
+                        order, skip, sub, is_first=False,
+                        has_cont=has_cont, rows=wr, interpret=interpret,
+                        xla_env=xla_env, block_rows=block_rows,
+                        chunk=chunk, group_rows=group_rows,
+                        subbits=sb_tab, subiv=siv_tab,
+                        subiv_mode=siv_mode, nvisit=nv)
+                    return tuple(o) + ((ms,) if xla_env else ())
+
+                flat = _with_visit_window(skip, _mid_flat)
+                out = flat[:14]
+                miss = flat[14] if xla_env else None
                 if xla_env:
                     out, _, _ = add_env(out, sub, miss, n=wr * _LANES)
                 if wr == rows_w:
@@ -1303,6 +1374,7 @@ def render_pool_sorted(tables, origin, direction, rng, valid, env_rgb,
                                SUBBITS_DEFAULT) == "1",
         subiv=int(os.environ.get("RTF_TPU_SEG_SUBIV", SUBIV_DEFAULT)),
         split=int(os.environ.get("RTF_TPU_SEG_SPLIT", SPLIT_DEFAULT)),
+        vdepth=int(os.environ.get("RTF_TPU_SEG_VDEPTH", VDEPTH_DEFAULT)),
     )
 
 

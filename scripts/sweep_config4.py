@@ -41,6 +41,17 @@ VARIANTS = [
     ("subiv2", {"RTF_TPU_SEG_SUBIV": "2"}),
     ("subiv2_group16", {"RTF_TPU_SEG_SUBIV": "2",
                         "RTF_TPU_SEG_GROUP": "16"}),
+    # chunk-visit-axis window (RTF_TPU_SEG_VDEPTH): the 111k-tri canopy
+    # packs 434 chunks, so every segment steps 434 visit columns per
+    # tile while accepting a few dozen — the skipped-step floor
+    # (~2.1 us/step) this window removes is largest exactly here
+    ("vdepth2", {"RTF_TPU_SEG_VDEPTH": "2"}),
+    ("vdepth3", {"RTF_TPU_SEG_VDEPTH": "3"}),
+    ("vdepth4", {"RTF_TPU_SEG_VDEPTH": "4"}),
+    ("vdepth3_group16", {"RTF_TPU_SEG_VDEPTH": "3",
+                         "RTF_TPU_SEG_GROUP": "16"}),
+    ("vdepth3_chunk128", {"RTF_TPU_SEG_VDEPTH": "3",
+                          "RTF_TPU_FUSED_CHUNK": "128"}),
     ("subiv2_dbits1", {"RTF_TPU_SEG_SUBIV": "2",
                        "RTF_TPU_SEG_DBITS": "1"}),
 ]

@@ -78,6 +78,13 @@ VARIANTS = [
     ("split4", {"RTF_TPU_SEG_SPLIT": "4"}),
     ("split2_wdepth4", {"RTF_TPU_SEG_SPLIT": "2",
                         "RTF_TPU_SEG_WDEPTH": "4"}),
+    # chunk-visit-axis window (RTF_TPU_SEG_VDEPTH = k): run each
+    # segment on the smallest static visit width (nchunks, /2, ../2^k)
+    # covering the max accepted-chunk count over its tiles — removes
+    # the ~2.1 us/step skipped-visit grid floor. On top of the split-3
+    # default; each level adds one kernel-shape compile per variant
+    ("vdepth1", {"RTF_TPU_SEG_VDEPTH": "1"}),
+    ("vdepth2", {"RTF_TPU_SEG_VDEPTH": "2"}),
     # block-permutation reorder (RTF_TPU_SEG_BPERM = rows/block; _FROM =
     # first bounce segment that uses it, earlier ones keep the exact sort)
     ("bperm8", {"RTF_TPU_SEG_BPERM": "8"}),

@@ -217,6 +217,38 @@ def test_window_cascade_depth_bitexact(monkeypatch):
     assert float(np.asarray(frame_n.color).std()) > 0.02
 
 
+@pytest.mark.parametrize("vdepth", ["1", "3"])
+def test_seg_visit_window_bitexact(monkeypatch, vdepth):
+    """RTF_TPU_SEG_VDEPTH=k windows the trace grid's chunk-VISIT axis:
+    each segment runs only the smallest static number of visit steps
+    (nchunks, /2, ..., /2^k) covering the max accepted-chunk count over
+    its tiles. Dropped steps all carry skip == 1 — no-ops that repeat
+    the previous chunk window — so any depth is bit-identical to the
+    full visit grid. The bench scene packs ~11 chunks at the default
+    chunk size, so the cascade genuinely engages."""
+    from raytracerfacility_tpu.ops import pallas_seg
+
+    compiled_f, cam, env = _scene("1", monkeypatch)
+    config = RenderConfig(
+        width=64, height=64, bounces=4, samples=1,
+        enable_textures=False, enable_vertex_color=False,
+        samples_in_lanes=True)
+    monkeypatch.setenv("RTF_TPU_SORTED", "1")
+    monkeypatch.setattr(pallas_seg, "BLOCK_ROWS_ENV", "2")
+    monkeypatch.setenv("RTF_TPU_SEG_VDEPTH", vdepth)
+    frame_v, rays_v = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(64, 64))
+    monkeypatch.delenv("RTF_TPU_SEG_VDEPTH")
+    frame_n, rays_n = render_frame_counted_jit(
+        compiled_f, cam, env, config, init_frame(64, 64))
+    for name in ("color", "normal", "albedo"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(frame_v, name)),
+            np.asarray(getattr(frame_n, name)), err_msg=name)
+    assert float(rays_v) == float(rays_n)
+    assert float(np.asarray(frame_n.color).std()) > 0.02
+
+
 @pytest.mark.parametrize("split", ["1", "2", "3", "4"])
 def test_seg_split_bitexact(monkeypatch, split):
     """RTF_TPU_SEG_SPLIT=s0 slices the ray pool to the smallest static
