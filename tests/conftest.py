@@ -7,6 +7,21 @@ is not enough — we must also update the jax config before any computation.
 """
 
 import os
+import resource
+
+# Deep jax tracing (scan-of-frames over the sorted-state wavefront loop)
+# can overflow the default 8 MB C stack mid-suite — a hard SIGSEGV in
+# core.bind, reproducible at tests/test_sorted_trace.py once enough jit
+# caches accumulate. The main thread's stack grows on demand up to the
+# soft rlimit, so raising it here (hard limit permitting) fixes it.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 512 * 1024 * 1024
+if _soft != resource.RLIM_INFINITY and _soft < _want:
+    _new = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
+    except (ValueError, OSError):
+        pass
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -603,3 +603,21 @@ def test_fused_illumination_estimator_matches(monkeypatch):
     d = np.abs(np.asarray(out_f.energy) - np.asarray(out_x.energy))
     assert np.quantile(d, 0.99) < 2e-3, float(np.quantile(d, 0.99))
     assert float(np.asarray(out_x.energy).mean()) > 1e-3  # non-trivial
+
+
+def test_auto_chunk_bounds_chunk_count(monkeypatch):
+    """Large scenes must scale the chunk SIZE so the chunk COUNT stays
+    bounded: the per-tile order/skip tables are (tiles, nchunks) int32
+    SMEM operands, and an unbounded nchunks fails program load at ~1M
+    tris (config 6 diagnosis, round 5)."""
+    import raytracerfacility_tpu.ops.pallas_fused as pf
+
+    monkeypatch.setattr(pf, "_CHUNK_ENV", None)
+    for n in (1_000, 65_536, 111_000, 262_144, 400_000, 1_038_336,
+              4_000_000, 33_554_432):
+        chunk = pf.auto_chunk(n)
+        assert chunk % pf.SUB == 0 and chunk % 8 == 0
+        nchunks = -(-n // chunk)
+        assert nchunks <= 512, (n, chunk, nchunks)
+        if n < 262_145:  # small/medium scenes keep the measured defaults
+            assert chunk == (256 if n < 65_536 else 512)
