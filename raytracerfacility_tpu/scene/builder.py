@@ -503,6 +503,35 @@ def build_compiled_scene(
             group_order.append(gkey)
         groups[gkey]["members"].append((handle, inst, slot))
 
+    # hard supported ceiling for the denormalized world bake, checked
+    # BEFORE any part is baked: every instance contributes full triangle
+    # rows (~80 B/tri across the geometry buffers + derived trace
+    # tables), so instances x tris is bounded by HBM — unlike the
+    # reference's shared-BLAS design (ref RayTracer.cu:1618-1715: one
+    # GAS per geometry + N lightweight instance records). 128M rows
+    # ~= 10 GB on a 16 GB part; past that, fail with the remedy instead
+    # of a host/device OOM mid-bake.
+    projected_rows = 0
+    for gkey in group_order:
+        grp = groups[gkey]
+        mesh = getattr(grp["geom"], "mesh", None)
+        tris = getattr(mesh, "triangles", None) if mesh is not None else None
+        if tris is None:
+            continue  # curves/strands tessellate later; meshes dominate scale
+        nsub = (len(grp["geom"].instance_matrices)
+                if grp["geom"].renderer_type == RendererType.INSTANCED
+                and grp["geom"].instance_matrices is not None else 1)
+        projected_rows += int(np.asarray(tris).shape[0]) * nsub * len(
+            grp["members"])
+    if projected_rows > 128_000_000:
+        raise ValueError(
+            f"scene bakes to {projected_rows:,} world triangle rows, over "
+            "the denormalized-bake ceiling (128M rows ~= 10 GB HBM). For "
+            "heavy instancing use the shared-geometry engine: "
+            "scene.builder.compile_shared_instanced + "
+            "ops.pallas_inst.trace_closest_instanced stores O(unique "
+            "triangles) and a per-instance transform table.")
+
     for gkey, grp in ((k, groups[k]) for k in group_order):
         geom = grp["geom"]
         members = grp["members"]

@@ -285,3 +285,30 @@ def test_bvh_skipped_when_pallas_serves_all_consumers(monkeypatch):
     compiled3 = scene2.build()
     assert compiled3.pallas_tris is None
     assert compiled3.bvh is not None
+
+
+def test_denormalized_bake_ceiling_error():
+    """Past the denormalized-bake HBM ceiling the builder must fail fast
+    (BEFORE any host bake) with the shared-instancing remedy, not an OOM
+    mid-build (the reference's shared-BLAS design has no such ceiling,
+    ref RayTracer.cu:1618-1715; ours trades it for SMEM-friendly flat
+    tables and offers compile_shared_instanced instead)."""
+    import numpy as np
+    import pytest
+
+    from raytracerfacility_tpu.enums import RendererType
+    from raytracerfacility_tpu.scene import RayTracerScene
+    from raytracerfacility_tpu.scene.mesh import make_sphere
+
+    scene = RayTracerScene()
+    mesh = make_sphere(0.5, rings=32, sectors=64)
+    ntri = int(mesh.triangles.shape[0])
+    n_inst = 128_000_000 // ntri + 2
+    mats = np.tile(np.eye(4, dtype=np.float32), (n_inst, 1, 1))
+    scene.upsert_geometry(1, version=0, mesh=mesh,
+                          renderer_type=RendererType.INSTANCED,
+                          instance_matrices=mats)
+    scene.upsert_material(2, version=0)
+    scene.upsert_instance(3, version=0, geometry=1, material=2)
+    with pytest.raises(ValueError, match="compile_shared_instanced"):
+        scene.build(build_bvh=False)

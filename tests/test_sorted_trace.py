@@ -58,7 +58,27 @@ def test_btf_frame_bitexact_sorted_trace(monkeypatch):
     """A BTF frame (the config-3 shape: wavefront engine, MLVQ shading)
     rendered with the sorted trace is bit-identical to the unsorted
     trace — the full engine consumes only (t, prim, u, v, hit), all of
-    which are permutation independent."""
+    which are permutation independent.
+
+    Runs in a clean subprocess when invoked from the full suite: after
+    ~100 prior jit programs the XLA CPU backend segfaults inside
+    backend_compile_and_load compiling this frame (deterministic
+    mid-suite, absent standalone, unchanged by a 512 MB stack rlimit —
+    an accumulated backend-state interaction, not this test's math).
+    Assertion coverage is identical either way."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("RTF_SORTED_TRACE_INPROC") != "1":
+        env = dict(os.environ, RTF_SORTED_TRACE_INPROC="1")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+             __file__ + "::test_btf_frame_bitexact_sorted_trace"],
+            env=env, capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-1000:])
+        return
+
     from raytracerfacility_tpu.enums import MaterialType
     from raytracerfacility_tpu.models.pathtracer import (
         RenderConfig,
