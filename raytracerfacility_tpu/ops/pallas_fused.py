@@ -73,24 +73,17 @@ TRI_CHUNK = int(_CHUNK_ENV or "256")  # legacy default for direct callers
 def auto_chunk(num_tris: int) -> int:
     """Per-scene SMEM window size (env override wins).
 
-    Beyond ~262k triangles the chunk size scales up so the chunk COUNT
-    stays <= 512: the segmented engine's per-tile order/skip tables are
-    (tiles, nchunks) int32 scalar-prefetch operands living in SMEM, and
-    at 1M tris a fixed 512-tri chunk gives ~2k chunks — the two tables
-    alone then exceed the core's SMEM budget and the program fails to
-    load (diagnosed on config 6, 1.04M-tri canopy: 64 tiles x 2028
-    chunks x 4 B x 2 tables ~= 1 MB). Doubling the chunk keeps the
-    tables ~bounded while the per-chunk VMEM window (chunk x 15 f32
-    planes) stays small (2048-tri chunk = 123 KB).
+    The chunk cannot grow past 512: the per-chunk table window is
+    SMEM-resident at 512 B/row with 2 buffering levels (chunk=512 ->
+    ~524 KB of the ~1 MB core SMEM; chunk=2048 was measured to fail
+    program load with "Allocation (size=2097152) would exceed memory
+    (size=1048576), space=smem" on the 1.04M-tri config 6). Many-chunk
+    scenes instead fit the (tiles, nchunks) order/skip tables by
+    scaling the TILE height — see ops/pallas_seg._pick_block_rows.
     """
     if _CHUNK_ENV is not None:
         return int(_CHUNK_ENV)
-    if num_tris < 65536:
-        return 256
-    chunk = 512
-    while num_tris > chunk * 512:
-        chunk *= 2
-    return chunk
+    return 512 if num_tris >= 65536 else 256
 # triangles per cullable sub-chunk (Morton-ordered runs); TRI_CHUNK/SUB
 # must be a multiple of 8 (TPU block-shape rule for the sub-AABB window).
 # 16 measured best once the segmented engine's windowed reorder landed

@@ -79,10 +79,27 @@ BLOCK_ROWS_ENV = os.environ.get("RTF_TPU_SEG_ROWS")
 _LANES = 128
 
 
-def _pick_block_rows(rows: int) -> int:
+def _pick_block_rows(rows: int, nchunks: int = 0) -> int:
+    """Tile height (rows per kernel block), measured defaults 16/32.
+
+    Many-chunk scenes additionally scale the tile UP so the per-tile
+    (tiles, nchunks) int32 order+skip scalar-prefetch tables fit SMEM
+    next to the double-buffered chunk table window (512 B/row/buffer —
+    the window is why the chunk size itself cannot grow past 512, see
+    ops/pallas_fused.auto_chunk). Diagnosed on the 1.04M-tri config 6:
+    at 32-row tiles the tables need ~1 MB and program load fails with
+    "Allocation would exceed memory (space=smem)"; 128-row tiles fit.
+    Fewer, taller tiles trade culling granularity for fitting at all.
+    """
     if BLOCK_ROWS_ENV is not None:
         return int(BLOCK_ROWS_ENV)
-    return 32 if rows >= 8192 else 16
+    br = 32 if rows >= 8192 else 16
+    if nchunks:
+        # ~400 KB SMEM budget for the order+skip tables (the chunk=512
+        # table window takes ~524 KB of the ~1 MB core budget)
+        while br < rows and (rows // br) * nchunks * 8 > 400_000:
+            br *= 2
+    return br
 # origin-cell bits per axis for the reorder key (4 -> 4096 cells).
 # The key is OCTANT-MAJOR: a sorted tile then holds rays of ONE
 # direction octant whose origins form a morton-contiguous (compact)
@@ -859,7 +876,8 @@ def _render_pool_sorted(table, sub_aabbs, chunk_aabbs, mat_table, origin,
                         subbits: bool = False, subiv: int = 0,
                         split: int = 0, vdepth: int = 0):
     r = origin.shape[0]
-    block_rows = _pick_block_rows((r + _LANES - 1) // _LANES)
+    block_rows = _pick_block_rows((r + _LANES - 1) // _LANES,
+                                  nchunks=table.shape[0] // chunk)
     block = block_rows * _LANES
     pad = (-r) % block
     if pad:

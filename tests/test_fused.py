@@ -605,19 +605,27 @@ def test_fused_illumination_estimator_matches(monkeypatch):
     assert float(np.asarray(out_x.energy).mean()) > 1e-3  # non-trivial
 
 
-def test_auto_chunk_bounds_chunk_count(monkeypatch):
-    """Large scenes must scale the chunk SIZE so the chunk COUNT stays
-    bounded: the per-tile order/skip tables are (tiles, nchunks) int32
-    SMEM operands, and an unbounded nchunks fails program load at ~1M
-    tris (config 6 diagnosis, round 5)."""
+def test_auto_chunk_window_bound(monkeypatch):
+    """The chunk size must never exceed 512: the per-chunk table window
+    is SMEM-resident at 512 B/row double-buffered, so larger chunks fail
+    program load outright (config 6 diagnosis, round 5). Many-chunk
+    scenes fit their order/skip tables by growing the TILE height
+    instead (_pick_block_rows)."""
     import raytracerfacility_tpu.ops.pallas_fused as pf
+    from raytracerfacility_tpu.ops.pallas_seg import _pick_block_rows
 
     monkeypatch.setattr(pf, "_CHUNK_ENV", None)
-    for n in (1_000, 65_536, 111_000, 262_144, 400_000, 1_038_336,
-              4_000_000, 33_554_432):
+    for n in (1_000, 65_536, 111_000, 1_038_336, 33_554_432):
         chunk = pf.auto_chunk(n)
-        assert chunk % pf.SUB == 0 and chunk % 8 == 0
-        nchunks = -(-n // chunk)
-        assert nchunks <= 512, (n, chunk, nchunks)
-        if n < 262_145:  # small/medium scenes keep the measured defaults
-            assert chunk == (256 if n < 65_536 else 512)
+        assert chunk == (256 if n < 65_536 else 512)
+
+    # SMEM model: tables (tiles x nchunks x 8 B) must fit the ~400 KB
+    # budget next to the 524 KB chunk window. config-6 shape: 2048 pool
+    # rows, 2032 chunks -> 128-row tiles (16 tiles, 260 KB). Small
+    # scenes keep the measured 16/32 defaults.
+    assert _pick_block_rows(2048, nchunks=2032) == 128
+    assert _pick_block_rows(16384, nchunks=90) == 32  # headline-class: 368 KB fits
+    assert _pick_block_rows(4096, nchunks=40) == 16
+    for rows, nchunks in ((2048, 2032), (16384, 2032), (512, 4096)):
+        br = _pick_block_rows(rows, nchunks=nchunks)
+        assert (rows // br) * nchunks * 8 <= 400_000 or br >= rows
