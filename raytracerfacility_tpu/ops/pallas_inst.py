@@ -115,6 +115,14 @@ def pack_instanced_tables(geoms, instance_geom, instance_matrices,
         raise ValueError(
             f"chunk={chunk} must be a multiple of sub={sub} with "
             f"chunk//sub a multiple of 8 (TPU sub-AABB window shape)")
+    n_inst = int(np.asarray(instance_geom).shape[0])
+    if n_inst > 8192:
+        # the (I, 16) instance-record table is fully SMEM-resident in
+        # the trace kernel (see _trace_instanced) — 8192 records =
+        # 512 KB of the ~1 MB core budget
+        raise ValueError(
+            f"{n_inst} instance records exceed the SMEM-resident bound "
+            "(8192); split the scene into multiple instanced groups")
     from raytracerfacility_tpu.ops.bvh import morton_codes
 
     big = 3.4e38
@@ -256,14 +264,20 @@ def _make_inst_kernel(unroll: int, chunk: int, sub: int):
             v_ref[...] = v_in[...]
 
         # world->object: o' = A.o + c, d' = A.d. The instance record and
-        # the object-chunk AABB arrive as (1, 16)/(1, 8) SMEM windows
-        # picked by the order tables' index maps — SMEM cost is O(1) in
-        # instance and chunk count. Scalar broadcasts; evaluation order
-        # matches the XLA oracle in tests/test_instanced.py term for term.
-        a00, a01, a02 = inst_ref[0, 0], inst_ref[0, 1], inst_ref[0, 2]
-        a10, a11, a12 = inst_ref[0, 3], inst_ref[0, 4], inst_ref[0, 5]
-        a20, a21, a22 = inst_ref[0, 6], inst_ref[0, 7], inst_ref[0, 8]
-        c0, c1, c2 = inst_ref[0, 9], inst_ref[0, 10], inst_ref[0, 11]
+        # the object-chunk AABB live as FULL SMEM-resident arrays indexed
+        # by the step's dynamic row (the seg engine's chunk-AABB pattern:
+        # Mosaic rejects sub-(8,128) blocked windows, so (1,16)/(1,8)
+        # windows only legalize in interpret mode). SMEM cost is
+        # O(instances + object chunks) — 80 KB at 1k instances/512
+        # chunks; pack_instanced_tables enforces the ~8k-instance bound.
+        # Scalar broadcasts; evaluation order matches the XLA oracle in
+        # tests/test_instanced.py term for term.
+        ii = oi_ref[i, step]
+        ci = oc_ref[i, step]
+        a00, a01, a02 = inst_ref[ii, 0], inst_ref[ii, 1], inst_ref[ii, 2]
+        a10, a11, a12 = inst_ref[ii, 3], inst_ref[ii, 4], inst_ref[ii, 5]
+        a20, a21, a22 = inst_ref[ii, 6], inst_ref[ii, 7], inst_ref[ii, 8]
+        c0, c1, c2 = inst_ref[ii, 9], inst_ref[ii, 10], inst_ref[ii, 11]
         wox, woy, woz = ox[...], oy[...], oz[...]
         wdx, wdy, wdz = dx[...], dy[...], dz[...]
         o_x = a00 * wox + a01 * woy + a02 * woz + c0
@@ -356,8 +370,8 @@ def _make_inst_kernel(unroll: int, chunk: int, sub: int):
         carry = (t_ref[...], prim_ref[...], iid_ref[...],
                  u_ref[...], v_ref[...])
         entered = slab(
-            ochunk_ref[0, 0], ochunk_ref[0, 1], ochunk_ref[0, 2],
-            ochunk_ref[0, 3], ochunk_ref[0, 4], ochunk_ref[0, 5],
+            ochunk_ref[ci, 0], ochunk_ref[ci, 1], ochunk_ref[ci, 2],
+            ochunk_ref[ci, 3], ochunk_ref[ci, 4], ochunk_ref[ci, 5],
             carry[0])
 
         def run_chunk(c):
@@ -443,12 +457,12 @@ def _trace_instanced(table, sub_aabbs, obj_chunks, inst,
     sub_spec = pl.BlockSpec((chunk // sub, 8),
                             lambda i, c, oc, oi, cnt: (oc[i, c], 0),
                             memory_space=pltpu.SMEM)
-    chunk_spec = pl.BlockSpec((1, 8),
-                              lambda i, c, oc, oi, cnt: (oc[i, c], 0),
-                              memory_space=pltpu.SMEM)
-    inst_spec = pl.BlockSpec((1, 16),
-                             lambda i, c, oc, oi, cnt: (oi[i, c], 0),
-                             memory_space=pltpu.SMEM)
+    # full-array SMEM residency (seg-engine pattern): Mosaic's block
+    # rule rejects (1, 8)/(1, 16) windows (second-to-minor dim must be
+    # a multiple of 8 or the array dim), so the kernel picks rows
+    # dynamically from the whole array instead
+    chunk_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    inst_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_shape = jax.ShapeDtypeStruct((rows, _LANES), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

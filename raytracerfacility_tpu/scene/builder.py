@@ -898,7 +898,7 @@ def build_compiled_scene(
     return compiled
 
 
-def compile_shared_instanced(scene, chunk: int = 2048, sub: int = 32):
+def compile_shared_instanced(scene, chunk: int = 512, sub: int = 32):
     """Shared-geometry instanced trace tables from a RayTracerScene —
     the O(unique triangles) alternative to the denormalized world bake
     for heavy-instancing scenes (the reference's shared-BLAS + instance

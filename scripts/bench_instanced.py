@@ -83,9 +83,10 @@ def main() -> None:
             [0.0, 0.0, 0.0, 1.0],
         ], np.float32)
         mats.append(m)
-    # large geometries want big chunks (fewer visit steps per instance)
+    # chunk is SMEM-window-bound at 512 (512 B/row, 2 buffering levels
+    # -> 524 KB of the ~1 MB core budget; 2048 measured to fail load)
     tables = pack_instanced_tables(
-        [geom], np.zeros(n_inst, np.int32), mats, chunk=2048, sub=32)
+        [geom], np.zeros(n_inst, np.int32), mats, chunk=512, sub=32)
     jax.block_until_ready(tables["table"])
     table_mb = tables["table"].size * 4 / 1e6
     nsteps = int(tables["step_chunk"].shape[0])
