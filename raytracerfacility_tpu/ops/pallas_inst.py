@@ -46,13 +46,17 @@ a ~2.1 us grid step each, so very large instance counts want few, large
 object chunks. The MEMORY ceiling — the reference-parity gap this
 module closes — is gone: HBM holds unique geometry only.
 
-SMEM discipline (the v5e has ~1 MB of SMEM and scalar-prefetch operands
-live there whole): the per-tile visit order is dispatched in fixed
-(TILE_BATCH x W_STEPS) windows — two i32 order tables per call, 256 KB
-at the defaults — and every O(scene) lookup is windowed per STEP by the
-order tables' index maps (one (1, 16) instance record, one (1, 8)
-object-chunk AABB row), so SMEM cost is independent of instance count,
-chunk count, and total step count. Tiles whose visit count exceeds one
+SMEM discipline (the v5e has ~1 MB of SMEM, scalar-prefetch operands
+live there whole, and SMEM rows pad to 128 lanes / 512 B): the per-tile
+visit order is dispatched in fixed (TILE_BATCH x W_STEPS) windows — two
+i32 order tables per call, 256 KB at the defaults. The instance records
+and object-chunk AABBs are fully SMEM-resident but DENSELY PACKED into
+128-f32 rows (8 records / 16 AABBs per row; Mosaic rejects sub-(8, 128)
+blocked windows, so per-step (1, 16)/(1, 8) windows only legalize in
+interpret mode, and unpacked (I, 16) layouts burn 512 B per record) —
+~80 KB at 1k instances, bounded by the 8192-instance pack limit. The
+chunk table window is SMEM's largest tenant at 512 B/row x 2 buffering
+levels, which caps chunk at 512. Tiles whose visit count exceeds one
 window CONTINUE across passes: the best-hit planes chain through carry
 inputs, bit-identically (tests/test_instanced.py multipass test).
 """
@@ -272,12 +276,21 @@ def _make_inst_kernel(unroll: int, chunk: int, sub: int):
         # chunks; pack_instanced_tables enforces the ~8k-instance bound.
         # Scalar broadcasts; evaluation order matches the XLA oracle in
         # tests/test_instanced.py term for term.
+        # SMEM rows pad to 128 lanes (512 B), so the resident tables are
+        # DENSELY PACKED: 8 instance records (16 f32 each) or 16 chunk
+        # AABBs (8 f32 each) per 128-wide row — measured 1.52 M SMEM at
+        # (I, 16)/(C, 8) layouts vs ~860 K packed (1024 x 262144 bench)
         ii = oi_ref[i, step]
         ci = oc_ref[i, step]
-        a00, a01, a02 = inst_ref[ii, 0], inst_ref[ii, 1], inst_ref[ii, 2]
-        a10, a11, a12 = inst_ref[ii, 3], inst_ref[ii, 4], inst_ref[ii, 5]
-        a20, a21, a22 = inst_ref[ii, 6], inst_ref[ii, 7], inst_ref[ii, 8]
-        c0, c1, c2 = inst_ref[ii, 9], inst_ref[ii, 10], inst_ref[ii, 11]
+        ir, ib = ii >> 3, (ii & 7) << 4
+
+        def irec(k):
+            return inst_ref[ir, ib + k]
+
+        a00, a01, a02 = irec(0), irec(1), irec(2)
+        a10, a11, a12 = irec(3), irec(4), irec(5)
+        a20, a21, a22 = irec(6), irec(7), irec(8)
+        c0, c1, c2 = irec(9), irec(10), irec(11)
         wox, woy, woz = ox[...], oy[...], oz[...]
         wdx, wdy, wdz = dx[...], dy[...], dz[...]
         o_x = a00 * wox + a01 * woy + a02 * woz + c0
@@ -370,8 +383,12 @@ def _make_inst_kernel(unroll: int, chunk: int, sub: int):
         carry = (t_ref[...], prim_ref[...], iid_ref[...],
                  u_ref[...], v_ref[...])
         entered = slab(
-            ochunk_ref[ci, 0], ochunk_ref[ci, 1], ochunk_ref[ci, 2],
-            ochunk_ref[ci, 3], ochunk_ref[ci, 4], ochunk_ref[ci, 5],
+            ochunk_ref[ci >> 4, ((ci & 15) << 3) + 0],
+            ochunk_ref[ci >> 4, ((ci & 15) << 3) + 1],
+            ochunk_ref[ci >> 4, ((ci & 15) << 3) + 2],
+            ochunk_ref[ci >> 4, ((ci & 15) << 3) + 3],
+            ochunk_ref[ci >> 4, ((ci & 15) << 3) + 4],
+            ochunk_ref[ci >> 4, ((ci & 15) << 3) + 5],
             carry[0])
 
         def run_chunk(c):
@@ -449,6 +466,18 @@ def _trace_instanced(table, sub_aabbs, obj_chunks, inst,
     count, and total step count."""
     rows = ray_ins[0].shape[0]
     grid = (rows // BLOCK_ROWS, order_chunk.shape[1])
+    # dense-pack the SMEM-resident tables (see kernel comment): 8
+    # records / 16 AABBs per 128-f32 row; pad rows are never indexed
+    ipad = (-inst.shape[0]) % 8
+    if ipad:
+        inst = jnp.concatenate(
+            [inst, jnp.zeros((ipad, 16), jnp.float32)])
+    inst = inst.reshape(-1, 128)
+    cpad = (-obj_chunks.shape[0]) % 16
+    if cpad:
+        obj_chunks = jnp.concatenate(
+            [obj_chunks, jnp.zeros((cpad, 8), jnp.float32)])
+    obj_chunks = obj_chunks.reshape(-1, 128)
     ray_spec = pl.BlockSpec((BLOCK_ROWS, _LANES),
                             lambda i, c, oc, oi, cnt: (i, 0))
     tri_spec = pl.BlockSpec((chunk, _COLS),
