@@ -33,3 +33,29 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _unclog_backend_maps():
+    """Clear jax's executable caches when the process map count nears the
+    kernel's vm.max_map_count (65530 default): every compiled program adds
+    mmap'd JIT code/data segments, and once the limit is reached the next
+    big XLA CPU compile segfaults inside backend_compile_and_load —
+    deterministic mid-suite, machine-independent victim (whichever large
+    compile comes after ~100 programs), absent standalone. Clearing remaps
+    the suite far from the ceiling at the cost of recompiling shared
+    programs in later modules."""
+    yield
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            n = sum(1 for _ in f)
+    except OSError:
+        return
+    if n > 40_000:
+        import sys
+        print(f"\n[conftest] clearing jax caches at {n} memory maps",
+              file=sys.stderr, flush=True)
+        jax.clear_caches()
